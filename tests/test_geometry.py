@@ -1,0 +1,174 @@
+"""Unit tests for batched intersection math (SURVEY.md §4 item 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrt_tpu.geometry import (FAM_SPHERE, INF, intersect_all,
+                              intersect_quads, intersect_spheres, make_hit)
+from rrt_tpu.scene import SceneBuilder
+
+
+def _ray(o, d):
+    return (jnp.asarray([o], jnp.float32), jnp.asarray([d], jnp.float32),
+            jnp.zeros((1,), jnp.float32))
+
+
+def _bounds(n=1):
+    return (jnp.full((n,), 1e-3, jnp.float32), jnp.full((n,), INF,
+                                                        jnp.float32))
+
+
+def _unit_sphere_scene():
+    b = SceneBuilder()
+    b.sphere((0.0, 0.0, 0.0), 1.0, b.lambertian((0.5, 0.5, 0.5)))
+    return b.build()
+
+
+class TestSphere:
+    def test_two_roots_takes_near(self):
+        scene = _unit_sphere_scene()
+        o, d, tm = _ray((0, 0, 5), (0, 0, -1))
+        t, idx = intersect_spheres(scene, o, d, tm, *_bounds())
+        assert np.isclose(float(t[0]), 4.0, atol=1e-5)
+        assert int(idx[0]) == 0
+
+    def test_inside_takes_far_root(self):
+        scene = _unit_sphere_scene()
+        o, d, tm = _ray((0, 0, 0), (0, 0, -1))
+        t, _ = intersect_spheres(scene, o, d, tm, *_bounds())
+        assert np.isclose(float(t[0]), 1.0, atol=1e-5)
+
+    def test_t_window_rejection(self):
+        scene = _unit_sphere_scene()
+        o, d, tm = _ray((0, 0, 5), (0, 0, -1))
+        t_min = jnp.full((1,), 1e-3, jnp.float32)
+        t_max = jnp.full((1,), 3.0, jnp.float32)  # both roots beyond
+        t, _ = intersect_spheres(scene, o, d, tm, t_min, t_max)
+        assert float(t[0]) >= float(INF)
+
+    def test_miss(self):
+        scene = _unit_sphere_scene()
+        o, d, tm = _ray((0, 0, 5), (0, 1, 0))
+        t, _ = intersect_spheres(scene, o, d, tm, *_bounds())
+        assert float(t[0]) >= float(INF)
+
+    def test_negative_radius_flips_normal(self):
+        """The hollow-glass trick (reference src/chap11.rs:38-42): |r| bounds
+        the surface, sign flips the outward normal."""
+        b = SceneBuilder()
+        b.sphere((0.0, 0.0, 0.0), -1.0, b.dielectric(1.5))
+        scene = b.build()
+        o, d, tm = _ray((0, 0, 5), (0, 0, -1))
+        tmin, tmax = _bounds()
+        t, idx = intersect_spheres(scene, o, d, tm, tmin, tmax)
+        assert np.isclose(float(t[0]), 4.0, atol=1e-5)
+        fam = jnp.asarray([FAM_SPHERE], jnp.int32)
+        hit = make_hit(scene, o, d, tm, t, fam, idx)
+        # Outward normal at (0,0,1) with r=-1 points inward (0,0,-1); the
+        # ray travels -z so d.outward < 0 is False -> front_face False,
+        # and the shading normal is flipped back to +z.
+        assert not bool(hit.front_face[0])
+        assert np.allclose(np.asarray(hit.normal[0]), [0, 0, 1], atol=1e-5)
+
+    def test_moving_sphere_center_lerp(self):
+        b = SceneBuilder()
+        b.moving_sphere((0, 0, 0), (2, 0, 0), 0.0, 1.0, 0.5,
+                        b.lambertian((0.5, 0.5, 0.5)))
+        scene = b.build()
+        o = jnp.asarray([[1.0, 0.0, 5.0]], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        tm = jnp.asarray([0.5], jnp.float32)  # center at (1,0,0)
+        t, _ = intersect_spheres(scene, o, d, tm, *_bounds())
+        assert np.isclose(float(t[0]), 4.5, atol=1e-5)
+
+    def test_shrinking_t_max_picks_closest(self):
+        b = SceneBuilder()
+        m = b.lambertian((0.5, 0.5, 0.5))
+        b.sphere((0.0, 0.0, -10.0), 1.0, m)
+        b.sphere((0.0, 0.0, -5.0), 1.0, m)
+        scene = b.build()
+        o, d, tm = _ray((0, 0, 0), (0, 0, -1))
+        t, idx = intersect_spheres(scene, o, d, tm, *_bounds())
+        assert int(idx[0]) == 1
+        assert np.isclose(float(t[0]), 4.0, atol=1e-5)
+
+
+class TestQuad:
+    def _quad_scene(self):
+        b = SceneBuilder()
+        b.quad((-1.0, -1.0, -2.0), (2.0, 0.0, 0.0), (0.0, 2.0, 0.0),
+               b.lambertian((0.5, 0.5, 0.5)))
+        return b.build()
+
+    def test_center_hit(self):
+        scene = self._quad_scene()
+        o, d, tm = _ray((0, 0, 0), (0, 0, -1))
+        t, idx = intersect_quads(scene, o, d, *_bounds())
+        assert np.isclose(float(t[0]), 2.0, atol=1e-5)
+
+    def test_outside_parallelogram(self):
+        scene = self._quad_scene()
+        o, d, tm = _ray((1.5, 0, 0), (0, 0, -1))
+        t, _ = intersect_quads(scene, o, d, *_bounds())
+        assert float(t[0]) >= float(INF)
+
+    def test_parallel_ray_misses(self):
+        scene = self._quad_scene()
+        o, d, tm = _ray((0, 0, 0), (1, 0, 0))
+        t, _ = intersect_quads(scene, o, d, *_bounds())
+        assert float(t[0]) >= float(INF)
+
+    def test_uv_coordinates(self):
+        scene = self._quad_scene()
+        o, d, tm = _ray((0.5, -0.5, 0), (0, 0, -1))
+        tmin, tmax = _bounds()
+        u_med = None
+        t, fam, idx, mask = intersect_all(scene, o, d, tm, tmin, tmax,
+                                          u_med)
+        hit = make_hit(scene, o, d, tm, t, fam, idx)
+        # q=(-1,-1), edges 2x2: point (0.5,-0.5) -> alpha=0.75, beta=0.25
+        assert np.allclose(np.asarray(hit.uv[0]), [0.75, 0.25], atol=1e-5)
+
+
+class TestMedium:
+    def test_certain_scatter_inside(self):
+        """With u ~ 1 (log(u) ~ 0) the scatter distance is ~0, so the hit
+        lands at the interval entry."""
+        b = SceneBuilder()
+        b.medium_sphere((0.0, 0.0, 0.0), 1.0, density=10.0,
+                        albedo=(1, 1, 1))
+        scene = b.build()
+        o, d, tm = _ray((0, 0, 5), (0, 0, -1))
+        tmin, tmax = _bounds()
+        u_med = jnp.full((1, scene.n_media), 0.999999, jnp.float32)
+        t, fam, idx, mask = intersect_all(scene, o, d, tm, tmin, tmax,
+                                          u_med)
+        assert bool(mask[0])
+        assert np.isclose(float(t[0]), 4.0, atol=1e-3)
+
+    def test_low_density_passthrough(self):
+        b = SceneBuilder()
+        b.medium_sphere((0.0, 0.0, 0.0), 1.0, density=1e-6,
+                        albedo=(1, 1, 1))
+        scene = b.build()
+        o, d, tm = _ray((0, 0, 5), (0, 0, -1))
+        tmin, tmax = _bounds()
+        u_med = jnp.full((1, scene.n_media), 0.5, jnp.float32)
+        t, fam, idx, mask = intersect_all(scene, o, d, tm, tmin, tmax,
+                                          u_med)
+        assert not bool(mask[0])
+
+    def test_obb_boundary(self):
+        b = SceneBuilder()
+        b.medium_box((-1, -1, -1), (1, 1, 1), density=1000.0,
+                     albedo=(1, 1, 1), rotate_y_deg=45.0)
+        scene = b.build()
+        o, d, tm = _ray((0, 0, 5), (0, 0, -1))
+        tmin, tmax = _bounds()
+        u_med = jnp.full((1, scene.n_media), 0.9999, jnp.float32)
+        t, fam, idx, mask = intersect_all(scene, o, d, tm, tmin, tmax,
+                                          u_med)
+        assert bool(mask[0])
+        # Rotated 45deg about y: the corner edge faces +z at sqrt(2).
+        assert np.isclose(float(t[0]), 5.0 - np.sqrt(2.0), atol=1e-2)

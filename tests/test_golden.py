@@ -1,0 +1,86 @@
+"""Golden-oracle equivalence: the wavefront device renderer must match the
+scalar recursive NumPy tracer per-ray when both consume identical random
+draws (SURVEY.md §4 item 2).
+
+A small fraction of rays may legitimately diverge (float32 vs float64
+decisions near argmin ties / dielectric thresholds flip the whole path), so
+the assertion is on the match fraction, not on every ray.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrt_tpu import golden, rng
+from rrt_tpu.camera import generate_rays
+from rrt_tpu.render import trace_batch
+from rrt_tpu.scenes import (chap11_scene, chap12_scene, cornell_box_scene,
+                            cornell_smoke_scene, diffuse_scene,
+                            rttnw_final_scene, simple_light_scene)
+
+MAX_DEPTH = 8
+
+
+def _compare(scene, cam, n_rays=96, width=32, height=18, seed=7,
+             min_match=0.93, atol=2e-2):
+    seed_key = jax.random.key(seed)
+    bkey = rng.batch_key(seed_key, 0, 0)
+    ids = jnp.arange(n_rays, dtype=jnp.int32)
+    px = ids % width
+    py = (ids // width) % height
+    o, d, tm = generate_rays(cam, px, py, width, height, bkey)
+
+    radiance, _ = trace_batch(scene, o, d, tm, bkey, MAX_DEPTH,
+                              t_min=1e-3, differentiable=False)
+    radiance = np.asarray(radiance)
+
+    gs = golden.GoldenScene(scene)
+    draws = golden.extract_draws(bkey, n_rays, scene.n_media, MAX_DEPTH)
+    o_np, d_np, tm_np = np.asarray(o), np.asarray(d), np.asarray(tm)
+    expected = np.stack([
+        golden.trace_ray(gs, o_np[i], d_np[i], float(tm_np[i]), i, draws,
+                         MAX_DEPTH) for i in range(n_rays)])
+
+    close = np.all(np.abs(radiance - expected) <= atol
+                   + 0.05 * np.abs(expected), axis=-1)
+    frac = float(np.mean(close))
+    assert frac >= min_match, (
+        f"only {frac:.2%} of rays match golden; worst err "
+        f"{np.max(np.abs(radiance - expected)):.4f}")
+
+
+def test_diffuse_matches_golden():
+    scene, cam = diffuse_scene(32, 18)
+    _compare(scene, cam)
+
+
+def test_chap11_matches_golden():
+    scene, cam = chap11_scene(32, 18)
+    _compare(scene, cam)
+
+
+def test_chap12_matches_golden():
+    scene, cam = chap12_scene(32, 18)
+    _compare(scene, cam)
+
+
+def test_simple_light_matches_golden():
+    scene, cam = simple_light_scene(32, 18)
+    _compare(scene, cam)
+
+
+def test_cornell_matches_golden():
+    scene, cam = cornell_box_scene(32, 32)
+    _compare(scene, cam, width=32, height=32)
+
+
+def test_cornell_smoke_matches_golden():
+    scene, cam = cornell_smoke_scene(32, 32)
+    _compare(scene, cam, width=32, height=32)
+
+
+@pytest.mark.slow
+def test_rttnw_final_matches_golden():
+    scene, cam = rttnw_final_scene(32, 18)
+    _compare(scene, cam, n_rays=48)
