@@ -49,12 +49,17 @@ def _reflect(v, n):
 
 
 def _refract(unit_d, n, ratio):
-    """Snell refraction of a unit direction about unit normal n."""
+    """Snell refraction of a unit direction about unit normal n.
+
+    Double-where keeps the sqrt gradient finite at the total-internal-
+    reflection boundary (r_par_sq -> 0), where this branch is masked out
+    by the caller anyway."""
     cos_theta = jnp.minimum(-jnp.sum(unit_d * n, axis=-1, keepdims=True),
                             1.0)
     r_perp = ratio[:, None] * (unit_d + cos_theta * n)
     r_par_sq = 1.0 - jnp.sum(r_perp * r_perp, axis=-1, keepdims=True)
-    r_par = -jnp.sqrt(jnp.maximum(r_par_sq, 0.0)) * n
+    ok = r_par_sq > 1e-12
+    r_par = -jnp.sqrt(jnp.where(ok, r_par_sq, 1.0)) * n * ok
     return r_perp + r_par
 
 
@@ -101,7 +106,11 @@ def scatter(scene: SceneArrays, d_in, hit, bkey, bounce) -> Scatter:
     cos_theta = jnp.minimum(-jnp.sum(unit_d * normal, axis=-1), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     cannot_refract = ratio * sin_theta > 1.0
-    reflect_choice = cannot_refract | (_schlick(cos_theta, ratio) > u_choice)
+    # The reflect-vs-refract *decision* is discrete: detach it so its
+    # (measure-zero) boundary contributes no gradient — path-replay
+    # detached sampling (SURVEY.md §7 design stance).
+    reflect_choice = jax.lax.stop_gradient(
+        cannot_refract | (_schlick(cos_theta, ratio) > u_choice))
     die_dir = jnp.where(reflect_choice[:, None], _reflect(unit_d, normal),
                         _refract(unit_d, normal, ratio))
 

@@ -1,0 +1,130 @@
+"""Distributed rendering: mesh construction + shard_map render step.
+
+This module *is* the communication backend (SURVEY.md §2.3/§5.8): there is
+no custom transport — sharding choices and XLA collectives live here so
+every cross-chip byte is visible in one place.
+
+Mesh axes (SURVEY.md §2.2 mapping):
+  "dp"  — data parallel over pixel tiles (embarrassing; no communication
+           until image assembly, which stays sharded anyway);
+  "sp"  — the tensor-parallel analog: the samples-per-pixel dimension.
+           Every sp-rank renders the same pixels at spp/sp samples and the
+           radiance accumulator is `psum`ed over "sp" on device.
+
+The bounce chain itself is deliberately chip-local (the sequence-parallel
+non-decision, SURVEY.md §5.7): bounces are cheap and sequential, so scaling
+rides the enormous (tiles x samples) batch axes instead.
+
+Determinism: tile/pass random keys are global ids, so the rendered image is
+a pure function of (seed, tile grid, spp) — identical across any dp x sp
+mesh factorization, up to f32 psum ordering.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..camera import Camera
+from ..render import RenderConfig, render_tile
+from ..scene import SceneArrays
+
+
+def make_mesh(devices=None, dp: int | None = None, sp: int | None = None):
+    """Build a ("dp", "sp") mesh over the given devices.
+
+    Defaults: all sample-parallel for a handful of chips would starve tile
+    parallelism, so we split evenly-ish: sp = largest power-of-two <= sqrt.
+    """
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if dp is None and sp is None:
+        sp = 1
+        while sp * 2 <= max(1, int(n ** 0.5)):
+            sp *= 2
+        dp = n // sp
+    elif dp is None:
+        dp = n // sp
+    elif sp is None:
+        sp = n // dp
+    if dp * sp != n:
+        raise ValueError(f"dp*sp={dp * sp} != device count {n}")
+    import numpy as np
+    return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
+
+
+def _padded_tiles(cfg: RenderConfig, dp: int):
+    """Flat pixel ids -> (n_tiles, tile_pixels) with n_tiles a multiple of
+    dp (padded tiles repeat the last pixel; cropped at assembly)."""
+    n_pix = cfg.width * cfg.height
+    tp = min(cfg.tile_pixels, n_pix)
+    n_tiles = -(-n_pix // tp)
+    n_tiles = -(-n_tiles // dp) * dp
+    ids = jnp.minimum(jnp.arange(n_tiles * tp, dtype=jnp.int32), n_pix - 1)
+    px = (ids % cfg.width).reshape(n_tiles, tp)
+    py = (ids // cfg.width).reshape(n_tiles, tp)
+    return px, py, n_tiles, tp
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "differentiable"))
+def render_image_sharded(scene: SceneArrays, camera: Camera,
+                         cfg: RenderConfig, seed, mesh: Mesh,
+                         differentiable: bool = False):
+    """Render over the mesh. Returns (image (H,W,3), n_traced).
+
+    The returned image is materialized (unsharded) — callers that want to
+    keep shards on-device (checkpointing, progressive preview) should use
+    the tile-level API directly.
+    """
+    if cfg.spp % cfg.samples_per_pass != 0:
+        raise ValueError("spp must be a multiple of samples_per_pass")
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    n_passes = cfg.spp // cfg.samples_per_pass
+    if n_passes % sp != 0:
+        raise ValueError(f"spp/samples_per_pass={n_passes} must be a "
+                         f"multiple of the sp axis ({sp})")
+    local_passes = n_passes // sp
+
+    seed_key = jax.random.key(seed) if jnp.issubdtype(
+        jnp.asarray(seed).dtype, jnp.integer) else seed
+    px, py, n_tiles, tp = _padded_tiles(cfg, dp)
+    local_tiles = n_tiles // dp
+
+    def shard_fn(px_l, py_l, scene, camera, seed_key):
+        dp_rank = jax.lax.axis_index("dp")
+        sp_rank = jax.lax.axis_index("sp")
+
+        def do_tile(i):
+            tile_id = dp_rank * local_tiles + i  # global id: mesh-invariant
+            return render_tile(scene, camera, px_l[i], py_l[i], cfg,
+                               seed_key, tile_id,
+                               pass_start=sp_rank * local_passes,
+                               n_passes=local_passes,
+                               differentiable=differentiable)
+
+        if differentiable:
+            parts = [do_tile(jnp.int32(i)) for i in range(local_tiles)]
+            rad = jnp.stack([r for r, _ in parts])
+            nt = sum(n for _, n in parts)
+        else:
+            rad, nt = jax.lax.map(do_tile,
+                                  jnp.arange(local_tiles, dtype=jnp.int32))
+            nt = jnp.sum(nt)
+        # Sample-dimension reduction on device — the "TP" psum.
+        rad = jax.lax.psum(rad, "sp")
+        nt = jax.lax.psum(nt, ("dp", "sp"))
+        return rad, nt
+
+    # check_vma=False: the bounce loop's carry mixes device-varying state
+    # with freshly-created constants, which trips the static varying-axis
+    # verifier; the collectives here (two psums) are correct by inspection.
+    rad, n_traced = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P(), P(), P()),
+        out_specs=(P("dp"), P()), check_vma=False)(
+            px, py, scene, camera, seed_key)
+
+    rad = rad.reshape(n_tiles * tp, 3)[: cfg.width * cfg.height]
+    image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
+    return image, n_traced
