@@ -66,22 +66,19 @@ def _normalize(x):
 
 
 def generate_rays(camera: Camera, px: jax.Array, py: jax.Array,
-                  width: int, height: int, bkey: jax.Array):
+                  width: int, height: int, keys: jax.Array):
     """Generate one jittered camera ray per pixel in the batch.
 
     px, py: integer pixel coordinates, shape (N,). py follows image
     convention (row 0 = top); the y-flip into camera `t` happens here, like
     the reference's flip at src/lib.rs:93-94.
 
-    bkey: per-(tile, pass) batch key from rng.batch_key.
+    keys: per-lane sample keys from rng.sample_keys — each ray's jitter,
+    lens offset and shutter time are a pure function of its
+    (seed, pixel, sample) identity.
     Returns (origins (N,3), directions (N,3), times (N,)).
     """
-    n = px.shape[0]
-    kj = rng.draw_key(bkey, 0, rng.STREAM_PIXEL_JITTER)
-    kl = rng.draw_key(bkey, 0, rng.STREAM_LENS)
-    kt = rng.draw_key(bkey, 0, rng.STREAM_TIME)
-
-    jitter = rng.uniform(kj, (n, 2))
+    jitter, disc, time_u = rng.camera_draws(keys)
     s = (px.astype(jnp.float32) + jitter[:, 0]) / jnp.float32(width)
     t = ((jnp.float32(height - 1) - py.astype(jnp.float32)) + jitter[:, 1]) \
         / jnp.float32(height)
@@ -89,11 +86,10 @@ def generate_rays(camera: Camera, px: jax.Array, py: jax.Array,
     origin, lower_left, horizontal, vertical, u, v = camera.basis()
 
     lens_radius = camera.aperture * 0.5
-    rd = lens_radius * rng.in_unit_disc(kl, (n,))  # (N,2)
+    rd = lens_radius * disc  # (N,2)
     offset = rd[:, :1] * u[None, :] + rd[:, 1:2] * v[None, :]
     origins = origin[None, :] + offset
     directions = (lower_left[None, :] + s[:, None] * horizontal[None, :]
                   + t[:, None] * vertical[None, :] - origins)
-    times = camera.time0 + (camera.time1 - camera.time0) * rng.uniform(
-        kt, (n,))
+    times = camera.time0 + (camera.time1 - camera.time0) * time_u
     return origins, directions, times

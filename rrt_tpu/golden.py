@@ -34,20 +34,19 @@ class GoldenScene:
             setattr(self, f, np.asarray(v) if hasattr(v, "shape") else v)
 
 
-def extract_draws(bkey, n_rays, n_media, max_depth):
-    """Precompute every random draw the wavefront loop will make for this
-    batch, keyed by (bounce, stream)."""
+def extract_draws(keys, n_media, max_depth):
+    """Precompute every random draw the wavefront loop will make for these
+    per-lane sample keys, keyed by (bounce, stream). Per-lane keying means
+    the draws depend only on each ray's (seed, pixel, sample) identity, so
+    the golden consumes exactly what any driver (batch or queue) consumes."""
     draws = {}
     for bounce in range(max_depth + 1):
-        ka = rng.draw_key(bkey, bounce, rng.STREAM_SCATTER_A)
-        kb = rng.draw_key(bkey, bounce, rng.STREAM_SCATTER_B)
-        draws[(bounce, "unit")] = np.asarray(rng.unit_vector(ka, (n_rays,)))
-        draws[(bounce, "sphere")] = np.asarray(
-            rng.in_unit_sphere(jax.random.fold_in(ka, 1), (n_rays,)))
-        draws[(bounce, "choice")] = np.asarray(rng.uniform(kb, (n_rays,)))
-        km = rng.draw_key(bkey, bounce, rng.STREAM_MEDIUM)
+        unit, sphere, choice = rng.scatter_draws(keys, bounce)
+        draws[(bounce, "unit")] = np.asarray(unit)
+        draws[(bounce, "sphere")] = np.asarray(sphere)
+        draws[(bounce, "choice")] = np.asarray(choice)
         draws[(bounce, "medium")] = np.asarray(
-            rng.uniform(km, (n_rays, max(n_media, 1))))
+            rng.medium_draws(keys, bounce, max(n_media, 1)))
     return draws
 
 

@@ -68,24 +68,20 @@ def _schlick(cosine, ref_idx):
     return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
 
 
-def scatter(scene: SceneArrays, d_in, hit, bkey, bounce) -> Scatter:
+def scatter(scene: SceneArrays, d_in, hit, keys, bounce) -> Scatter:
     """Evaluate all material models for the batch and select by mat_id.
 
     d_in: (N,3) incoming ray directions (unnormalized, like the reference).
     hit: geometry.Hit for this batch.
-    bkey: per-(tile, pass) batch key from rng.batch_key.
+    keys: per-lane sample keys (rng.sample_keys); bounce: per-lane or
+    scalar bounce counter for the draw stream.
     """
     n_rays = d_in.shape[0]
     mtype = scene.mat_type[hit.mat_id]  # (N,)
     albedo = texture_value(scene, scene.mat_tex[hit.mat_id],
                            hit.uv[:, 0], hit.uv[:, 1], hit.p)
 
-    ka = rng.draw_key(bkey, bounce, rng.STREAM_SCATTER_A)
-    kb = rng.draw_key(bkey, bounce, rng.STREAM_SCATTER_B)
-    unit_rand = rng.unit_vector(ka, (n_rays,))  # lambertian
-    sphere_rand = rng.in_unit_sphere(jax.random.fold_in(ka, 1),
-                                     (n_rays,))  # metal fuzz / isotropic
-    u_choice = rng.uniform(kb, (n_rays,))  # dielectric branch
+    unit_rand, sphere_rand, u_choice = rng.scatter_draws(keys, bounce)
 
     normal = hit.normal
 

@@ -92,13 +92,11 @@ def render_image_sharded(scene: SceneArrays, camera: Camera,
     local_tiles = n_tiles // dp
 
     def shard_fn(px_l, py_l, scene, camera, seed_key):
-        dp_rank = jax.lax.axis_index("dp")
         sp_rank = jax.lax.axis_index("sp")
 
         def do_tile(i):
-            tile_id = dp_rank * local_tiles + i  # global id: mesh-invariant
             return render_tile(scene, camera, px_l[i], py_l[i], cfg,
-                               seed_key, tile_id,
+                               seed_key,
                                pass_start=sp_rank * local_passes,
                                n_passes=local_passes,
                                differentiable=differentiable)

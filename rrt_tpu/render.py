@@ -2,26 +2,26 @@
 
 The reference's hot path is a per-pixel recursive `trace` to depth 50 with a
 BVH walk inside (reference: src/lib.rs:50-71, 96-103). On TPU the recursion
-inverts into an *iterative bounce loop over a megabatch of rays*:
+inverts into an *iterative bounce loop over a megabatch of rays*. Two
+drivers share the physics:
 
-  generate (pixels x samples_per_pass) rays as one SoA batch
-  loop bounce = 0..max_depth:
-      intersect batch against every primitive family (matmul form, MXU)
-      miss -> accumulate background, die
-      hit  -> accumulate emission; scatter; update throughput + alive mask
-  (early exit when no ray is alive)
+1. `trace_batch` — fixed ray batch, `lax.while_loop` (forward) or
+   `lax.scan` + `jax.checkpoint` (reverse-differentiable with per-bounce
+   rematerialization: the O(1)-in-depth memory of path-replay backprop,
+   SURVEY.md §5.7).
 
-Two loop drivers share one body:
-  * `lax.while_loop` for forward rendering — exits as soon as the batch is
-    dead (most paths die in a handful of bounces, so this is the fast path);
-  * `lax.scan` with `jax.checkpoint` for the differentiable path —
-    reverse-differentiable, with per-bounce rematerialization so the big
-    (N,S) intersection intermediates are never stored (the O(1)-in-depth
-    memory story of path-replay backprop, SURVEY.md §5.7).
+2. `trace_queue` — the fast forward path: a persistent ray queue with
+   stream compaction by *refill*. Dead lanes are immediately re-issued
+   with fresh (pixel, sample) camera rays, so occupancy stays ~100%
+   instead of decaying with the alive fraction (the divergence mitigation
+   of SURVEY.md §7 "hard parts" #3). Contributions scatter-add into a
+   per-pixel accumulator when lanes die.
 
-Discrete decisions (argmin winner, front-face flip, dielectric branch,
-metal absorption) are integer/boolean selects: gradients flow only through
-the continuous quantities, i.e. detached sampling by construction.
+Because every random draw is keyed by (seed, pixel, sample, bounce)
+(rrt_tpu.rng), both drivers produce the *identical* image — bit-equal per
+sample — for any queue size, tile shape or batching. Discrete decisions
+(argmin winner, front-face, dielectric branch, metal absorption) are
+integer/boolean selects, so sampling is detached by construction.
 """
 
 import dataclasses
@@ -43,8 +43,11 @@ class RenderConfig:
     height: int = 225
     spp: int = 32
     max_depth: int = 50
-    # Rays per traced batch = tile_pixels * samples_per_pass. Bounds the
-    # (N, S) intersection working set in HBM.
+    # Queue renderer: number of in-flight rays (bounds the (Q, S)
+    # intersection working set in HBM/VMEM).
+    queue_size: int = 131072
+    # Batch renderer (differentiable path): rays per traced batch =
+    # tile_pixels * samples_per_pass.
     tile_pixels: int = 16384
     samples_per_pass: int = 4
     t_min: float = 1.0e-3
@@ -60,13 +63,17 @@ def background_color(scene: SceneArrays, d):
     return jnp.where(scene.bg_mode == BG_SKY, sky, scene.bg_bottom[None, :])
 
 
-def _bounce_body(scene, t_min, bkey, carry, bounce, max_depth):
-    o, d, time, throughput, radiance, alive, n_traced = carry
-    n = o.shape[0]
+def _shade(scene: SceneArrays, o, d, time, keys, bounce, alive, t_min,
+           max_depth):
+    """One physics step for a ray set: intersect, shade, scatter.
 
+    bounce may be a scalar (batch driver) or per-lane array (queue driver).
+    Returns (contribution (N,3) — radiance to bank this step, scaled by
+    throughput by the caller — new_o, new_d, attenuation, survives (N,)).
+    """
+    n = o.shape[0]
     if scene.has_media:
-        km = rng.draw_key(bkey, bounce, rng.STREAM_MEDIUM)
-        u_med = rng.uniform(km, (n, scene.n_media))
+        u_med = rng.medium_draws(keys, bounce, scene.n_media)
     else:
         u_med = None
 
@@ -78,48 +85,52 @@ def _bounce_body(scene, t_min, bkey, carry, bounce, max_depth):
     miss_mask = alive & ~hit_mask
 
     hit = make_hit(scene, o, d, time, t, fam, idx)
-    sc = scatter(scene, d, hit, bkey, bounce)
+    sc = scatter(scene, d, hit, keys, bounce)
 
-    bg = background_color(scene, d)
-    radiance = radiance + throughput * bg * miss_mask[:, None]
+    contribution = background_color(scene, d) * miss_mask[:, None]
     if scene.has_emissive:
-        radiance = radiance + throughput * sc.emitted * hit_mask[:, None]
+        contribution = contribution + sc.emitted * hit_mask[:, None]
 
     # The reference kills rays that hit at depth >= 50 *before* scattering
-    # (src/lib.rs:58-60); misses at that depth still see the sky, which is
-    # why the loop runs max_depth+1 times with scattering suppressed on the
-    # final pass.
-    can_scatter = bounce < max_depth
-    new_alive = hit_mask & sc.scattered & can_scatter
-    throughput = jnp.where(new_alive[:, None],
-                           throughput * sc.attenuation, throughput)
-    o = jnp.where(new_alive[:, None], hit.p, o)
-    d = jnp.where(new_alive[:, None], sc.direction, d)
-
-    n_traced = n_traced + jnp.sum(alive.astype(jnp.int32))
-    return (o, d, time, throughput, radiance, new_alive, n_traced)
+    # (src/lib.rs:58-60); misses at that depth still see the sky.
+    survives = hit_mask & sc.scattered & (bounce < max_depth)
+    new_o = jnp.where(survives[:, None], hit.p, o)
+    new_d = jnp.where(survives[:, None], sc.direction, d)
+    return contribution, new_o, new_d, sc.attenuation, survives
 
 
-def trace_batch(scene: SceneArrays, o, d, time, bkey, max_depth: int,
+def _bounce_body(scene, t_min, keys, carry, bounce, max_depth):
+    o, d, time, throughput, radiance, alive, n_traced = carry
+    contribution, new_o, new_d, attenuation, survives = _shade(
+        scene, o, d, time, keys, bounce, alive, t_min, max_depth)
+    radiance = radiance + throughput * contribution
+    throughput = jnp.where(survives[:, None], throughput * attenuation,
+                           throughput)
+    n_traced = n_traced + jnp.sum(alive.astype(jnp.float32))
+    return (new_o, new_d, time, throughput, radiance, survives, n_traced)
+
+
+def trace_batch(scene: SceneArrays, o, d, time, keys, max_depth: int,
                 t_min: float, differentiable: bool):
-    """Trace a ray batch to completion.
+    """Trace a fixed ray batch to completion.
 
-    Returns (radiance (N,3), n_traced () int32 — total intersect-tested
-    rays, the Mrays/s numerator).
-    """
+    keys: per-lane sample keys (rng.sample_keys).
+    Returns (radiance (N,3), n_traced () int32)."""
     n = o.shape[0]
     carry0 = (o, d, time,
               jnp.ones((n, 3), jnp.float32),  # throughput
               jnp.zeros((n, 3), jnp.float32),  # radiance
               jnp.ones((n,), bool),  # alive
-              jnp.zeros((), jnp.int32))
+              jnp.zeros((), jnp.float32))  # rays traced (f32: metric only)
 
-    body = partial(_bounce_body, scene, t_min, bkey, max_depth=max_depth)
+    body = partial(_bounce_body, scene, t_min, keys, max_depth=max_depth)
 
     if differentiable:
+        ckpt_body = jax.checkpoint(lambda c, b: body(c, b))
+
         def scan_step(carry, bounce):
-            return jax.checkpoint(
-                lambda c, b: body(c, b))(carry, bounce), None
+            return ckpt_body(carry, bounce), None
+
         carry, _ = jax.lax.scan(scan_step, carry0,
                                 jnp.arange(max_depth + 1))
     else:
@@ -133,33 +144,130 @@ def trace_batch(scene: SceneArrays, o, d, time, bkey, max_depth: int,
 
         _, carry = jax.lax.while_loop(cond, step, (jnp.zeros((), jnp.int32),
                                                    carry0))
-    radiance = carry[4]
-    n_traced = carry[6]
-    return radiance, n_traced
+    return carry[4], carry[6]
 
 
-def render_tile(scene: SceneArrays, camera: Camera, px, py, cfg: RenderConfig,
-                seed_key, tile_id, pass_start, n_passes: int,
+# ---------------------------------------------------------------------------
+# Queue-compaction forward renderer
+# ---------------------------------------------------------------------------
+
+
+def trace_queue(scene: SceneArrays, camera: Camera, px, py,
+                cfg: RenderConfig, seed_key, sample_lo: int, sample_hi,
+                queue_size: int | None = None):
+    """Render samples [sample_lo, sample_hi) of the given pixels with a
+    persistent compacted ray queue.
+
+    px, py: (P,) pixel coordinates. Sample ids are enumerated sample-major
+    (all pixels at sample s, then s+1, ...) so fresh camera rays in a
+    refill are spatially coherent.
+
+    Returns (radiance_sum (P,3) — sum over samples — and n_traced).
+    """
+    p_count = px.shape[0]
+    q = queue_size or cfg.queue_size
+    q = min(q, p_count * int(sample_hi - sample_lo)) \
+        if isinstance(sample_hi, int) else q
+    pixel_gid = (py * cfg.width + px).astype(jnp.uint32)
+    total = p_count * (sample_hi - sample_lo)
+
+    def refill(state):
+        (o, d, tm, thr, pix, keys_data, bounce, alive, next_s, acc,
+         n_traced) = state
+        dead = ~alive
+        ranks = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        sidx = next_s + ranks
+        issue = dead & (sidx < total)
+        sidx_c = jnp.minimum(sidx, total - 1)
+        p_new = (sidx_c % p_count).astype(jnp.int32)
+        s_new = (sidx_c // p_count).astype(jnp.uint32) + jnp.uint32(
+            sample_lo)
+
+        new_keys = rng.sample_keys(seed_key, pixel_gid[p_new], s_new)
+        o_new, d_new, tm_new = generate_rays(
+            camera, px[p_new], py[p_new], cfg.width, cfg.height, new_keys)
+
+        sel = issue[:, None]
+        o = jnp.where(sel, o_new, o)
+        d = jnp.where(sel, d_new, d)
+        tm = jnp.where(issue, tm_new, tm)
+        thr = jnp.where(sel, 1.0, thr)
+        pix = jnp.where(issue, p_new, pix)
+        keys_data = jnp.where(sel, jax.random.key_data(new_keys),
+                              keys_data)
+        bounce = jnp.where(issue, 0, bounce)
+        alive = alive | issue
+        next_s = next_s + jnp.sum(issue.astype(jnp.int32))
+        return (o, d, tm, thr, pix, keys_data, bounce, alive, next_s, acc,
+                n_traced)
+
+    def body(state):
+        state = refill(state)
+        (o, d, tm, thr, pix, keys_data, bounce, alive, next_s, acc,
+         n_traced) = state
+        keys = jax.random.wrap_key_data(keys_data)
+        contribution, new_o, new_d, attenuation, survives = _shade(
+            scene, o, d, tm, keys, bounce, alive, cfg.t_min, cfg.max_depth)
+        acc = acc.at[pix].add(thr * contribution,
+                              mode="drop", unique_indices=False)
+        thr = jnp.where(survives[:, None], thr * attenuation, thr)
+        bounce = bounce + survives.astype(jnp.int32)
+        n_traced = n_traced + jnp.sum(alive.astype(jnp.float32))
+        return (new_o, new_d, tm, thr, pix, keys_data, bounce, survives,
+                next_s, acc, n_traced)
+
+    def cond(state):
+        alive, next_s = state[7], state[8]
+        return (next_s < total) | jnp.any(alive)
+
+    dummy_keys = jax.random.key_data(
+        rng.sample_keys(seed_key, jnp.zeros((q,), jnp.uint32), 0))
+    state0 = (jnp.zeros((q, 3), jnp.float32),  # o
+              jnp.ones((q, 3), jnp.float32),  # d (non-degenerate)
+              jnp.zeros((q,), jnp.float32),  # time
+              jnp.ones((q, 3), jnp.float32),  # throughput
+              jnp.zeros((q,), jnp.int32),  # pixel index in tile
+              dummy_keys,  # per-lane key data
+              jnp.zeros((q,), jnp.int32),  # bounce counter
+              jnp.zeros((q,), bool),  # alive
+              jnp.zeros((), jnp.int32),  # next sample cursor
+              jnp.zeros((p_count, 3), jnp.float32),  # accumulator
+              jnp.zeros((), jnp.float32))  # rays traced (f32: metric only)
+
+    state = jax.lax.while_loop(cond, body, state0)
+    return state[9], state[10]
+
+
+# ---------------------------------------------------------------------------
+# Image assembly
+# ---------------------------------------------------------------------------
+
+
+def render_tile(scene: SceneArrays, camera: Camera, px, py,
+                cfg: RenderConfig, seed_key, pass_start, n_passes: int,
                 differentiable: bool = False):
-    """Render one tile of pixels with `n_passes` sample passes.
+    """Render one tile of pixels with `n_passes` sample passes through the
+    batch driver (the differentiable path).
 
-    px, py: (P,) pixel coordinates. Each pass traces P*samples_per_pass
-    jittered rays. Returns (radiance_sum (P,3) — *sum* over samples, divide
-    by spp at assembly — and n_traced).
+    Pass i covers samples [(pass_start+i)*spc, ...+spc). Returns
+    (radiance_sum (P,3) — sum over the rendered samples — and n_traced).
     """
     p_count = px.shape[0]
     spc = cfg.samples_per_pass
     pxr = jnp.tile(px, spc)
     pyr = jnp.tile(py, spc)
+    gid = (pyr * cfg.width + pxr).astype(jnp.uint32)
+    replica = jnp.repeat(jnp.arange(spc, dtype=jnp.uint32), p_count)
 
     def one_pass(pass_i):
-        bkey = rng.batch_key(seed_key, tile_id, pass_start + pass_i)
+        samp = (jnp.uint32(pass_start) + pass_i.astype(jnp.uint32)) \
+            * jnp.uint32(spc) + replica
+        keys = rng.sample_keys(seed_key, gid, samp)
         o, d, tm = generate_rays(camera, pxr, pyr, cfg.width, cfg.height,
-                                 bkey)
-        radiance, n_traced = trace_batch(scene, o, d, tm, bkey,
+                                 keys)
+        radiance, n_traced = trace_batch(scene, o, d, tm, keys,
                                          cfg.max_depth, cfg.t_min,
                                          differentiable)
-        # (P*spc,3) -> (P,3) partial sample sum.
         return jnp.sum(radiance.reshape(spc, p_count, 3), axis=0), n_traced
 
     def body(pass_i, acc):
@@ -168,16 +276,14 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py, cfg: RenderConfig,
         return acc_rad + r, acc_n + nt
 
     if differentiable:
-        # Unrolled python loop keeps the pass loop reverse-differentiable
-        # without a scan-of-remat (n_passes is small in training use).
         acc = (jnp.zeros((p_count, 3), jnp.float32),
-               jnp.zeros((), jnp.int32))
+               jnp.zeros((), jnp.float32))
         for i in range(n_passes):
             acc = body(jnp.int32(i), acc)
         return acc
     return jax.lax.fori_loop(
         0, n_passes, body, (jnp.zeros((p_count, 3), jnp.float32),
-                            jnp.zeros((), jnp.int32)))
+                            jnp.zeros((), jnp.float32)))
 
 
 def _tile_coords(cfg: RenderConfig):
@@ -193,24 +299,30 @@ def _tile_coords(cfg: RenderConfig):
     return px.reshape(n_tiles, tp), py.reshape(n_tiles, tp), n_tiles, tp
 
 
+def _as_key(seed):
+    if jnp.issubdtype(jnp.asarray(seed).dtype, jnp.integer):
+        return jax.random.key(seed)
+    return seed
+
+
 @partial(jax.jit, static_argnames=("cfg", "differentiable"))
 def render_image(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
-                 seed: jax.Array, differentiable: bool = False):
-    """Render the full image on the local device.
+                 seed, differentiable: bool = False):
+    """Render the full image on the local device via the batch driver.
 
     Returns (image (H,W,3) float radiance in [0,inf), n_traced).
-    Multi-device rendering lives in parallel.mesh.
+    Forward-only rendering is faster through `render_image_queue`;
+    multi-device rendering lives in parallel.mesh.
     """
     if cfg.spp % cfg.samples_per_pass != 0:
         raise ValueError("spp must be a multiple of samples_per_pass")
-    seed_key = jax.random.key(seed) if jnp.issubdtype(
-        jnp.asarray(seed).dtype, jnp.integer) else seed
+    seed_key = _as_key(seed)
     px, py, n_tiles, tp = _tile_coords(cfg)
     n_passes = cfg.spp // cfg.samples_per_pass
 
     def do_tile(tile_id):
         return render_tile(scene, camera, px[tile_id], py[tile_id], cfg,
-                           seed_key, tile_id, 0, n_passes,
+                           seed_key, 0, n_passes,
                            differentiable=differentiable)
 
     rad, n_traced = jax.lax.map(do_tile, jnp.arange(n_tiles,
@@ -218,6 +330,22 @@ def render_image(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
     rad = rad.reshape(n_tiles * tp, 3)[: cfg.width * cfg.height]
     image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
     return image, jnp.sum(n_traced)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_image_queue(scene: SceneArrays, camera: Camera,
+                       cfg: RenderConfig, seed):
+    """Render the full image with the compacted-queue driver (forward
+    only). Bit-identical to render_image for the same (seed, cfg)."""
+    seed_key = _as_key(seed)
+    n_pix = cfg.width * cfg.height
+    ids = jnp.arange(n_pix, dtype=jnp.int32)
+    px = ids % cfg.width
+    py = ids // cfg.width
+    rad, n_traced = trace_queue(scene, camera, px, py, cfg, seed_key,
+                                0, cfg.spp)
+    image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
+    return image, n_traced
 
 
 def tonemap(image):

@@ -25,18 +25,19 @@ MAX_DEPTH = 8
 def _compare(scene, cam, n_rays=96, width=32, height=18, seed=7,
              min_match=0.93, atol=2e-2):
     seed_key = jax.random.key(seed)
-    bkey = rng.batch_key(seed_key, 0, 0)
     ids = jnp.arange(n_rays, dtype=jnp.int32)
     px = ids % width
     py = (ids // width) % height
-    o, d, tm = generate_rays(cam, px, py, width, height, bkey)
+    gid = (py * width + px).astype(jnp.uint32)
+    keys = rng.sample_keys(seed_key, gid, 0)
+    o, d, tm = generate_rays(cam, px, py, width, height, keys)
 
-    radiance, _ = trace_batch(scene, o, d, tm, bkey, MAX_DEPTH,
+    radiance, _ = trace_batch(scene, o, d, tm, keys, MAX_DEPTH,
                               t_min=1e-3, differentiable=False)
     radiance = np.asarray(radiance)
 
     gs = golden.GoldenScene(scene)
-    draws = golden.extract_draws(bkey, n_rays, scene.n_media, MAX_DEPTH)
+    draws = golden.extract_draws(keys, scene.n_media, MAX_DEPTH)
     o_np, d_np, tm_np = np.asarray(o), np.asarray(d), np.asarray(tm)
     expected = np.stack([
         golden.trace_ray(gs, o_np[i], d_np[i], float(tm_np[i]), i, draws,
