@@ -1,0 +1,172 @@
+"""Command-line renderer.
+
+Covers the reference CLI (src/main.rs:12-46: -r/--resolution, -s/--samples,
+-e/--seed, -m/--random) plus scene selection, output path, backend/driver
+choice, checkpoint/resume, progress reporting and profiling — the config
+surface the reference hard-codes (SURVEY.md §5.6).
+
+Progressive rendering: samples are rendered in passes of `--spp-chunk`;
+after each pass the accumulator can be checkpointed and the preview
+updated. Per-(pixel, sample) keyed RNG makes resume exact.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def parse_resolution(s: str):
+    try:
+        w, h = s.lower().split("x")
+        w, h = int(w), int(h)
+        if w <= 0 or h <= 0:
+            raise ValueError
+        return w, h
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"resolution must be WIDTHxHEIGHT with positive integers, "
+            f"got {s!r}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="rrt-tpu", description="TPU-native differentiable path tracer")
+    p.add_argument("-r", "--resolution", type=parse_resolution,
+                   default=(1200, 800), help="WIDTHxHEIGHT (default "
+                   "1200x800, the reference default)")
+    p.add_argument("-s", "--samples", type=int, default=10,
+                   help="samples per pixel (default 10)")
+    p.add_argument("-e", "--seed", type=int, default=0,
+                   help="render seed (default 0)")
+    p.add_argument("-m", "--random", action="store_true",
+                   help="use an entropy seed instead of --seed")
+    p.add_argument("--scene", default="book2chap2",
+                   help="scene name (see rrt_tpu.scenes.SCENES)")
+    p.add_argument("-o", "--output", default="o.ppm",
+                   help="output path; .png or .ppm by extension")
+    p.add_argument("--max-depth", type=int, default=50)
+    p.add_argument("--spp-chunk", type=int, default=0,
+                   help="samples per progressive pass (0 = all at once)")
+    p.add_argument("--queue-size", type=int, default=131072)
+    p.add_argument("--driver", choices=("queue", "batch"), default="queue")
+    p.add_argument("--pallas", action="store_true",
+                   help="use fused Pallas intersection kernels (TPU)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file to save to / resume from")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="checkpoint every N progressive passes")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import rrt_tpu
+    from rrt_tpu import io as rio
+    from rrt_tpu.render import render_image_queue, trace_queue
+    from rrt_tpu.scenes import SCENES
+
+    if args.scene not in SCENES:
+        print(f"unknown scene {args.scene!r}; available: "
+              f"{', '.join(sorted(SCENES))}", file=sys.stderr)
+        return 2
+
+    width, height = args.resolution
+    seed = int(np.random.SeedSequence().entropy % (2 ** 31)) if args.random \
+        else args.seed
+    spp = args.samples
+    log = (lambda *a: None) if args.quiet else (
+        lambda *a: print(*a, file=sys.stderr, flush=True))
+
+    log(f"rrt-tpu: {args.scene} {width}x{height} @ {spp}spp seed={seed} "
+        f"depth={args.max_depth} driver={args.driver} "
+        f"backend={jax.default_backend()}")
+
+    t0 = time.time()
+    scene, camera = SCENES[args.scene](width, height)
+    log(f"scene built in {time.time() - t0:.2f}s "
+        f"({scene.n_spheres} sphere slots, {scene.n_quads} quad slots)")
+
+    cfg = rrt_tpu.RenderConfig(
+        width=width, height=height, spp=spp, max_depth=args.max_depth,
+        queue_size=min(args.queue_size, width * height * spp),
+        use_pallas=args.pallas,
+        samples_per_pass=min(4, spp), tile_pixels=16384)
+
+    # One jit for all progressive chunks: sample bounds are dynamic args.
+    trace_chunk = jax.jit(
+        lambda sc, cm, x, y, k, lo, hi: trace_queue(sc, cm, x, y, cfg, k,
+                                                    lo, hi))
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    chunk = args.spp_chunk if args.spp_chunk > 0 else spp
+    n_pix = width * height
+    ids = np.arange(n_pix, dtype=np.int32)
+    px = jax.numpy.asarray(ids % width)
+    py = jax.numpy.asarray(ids // width)
+    seed_key = jax.random.key(seed)
+
+    acc = np.zeros((n_pix, 3), np.float32)
+    spp_done = 0
+    total_rays = 0.0
+    if args.checkpoint:
+        try:
+            acc_l, spp_done, seed_ck, meta = rio.load_checkpoint(
+                args.checkpoint)
+            if seed_ck == seed and meta.get("scene") == args.scene \
+                    and acc_l.shape[0] == n_pix:
+                acc, spp_done = acc_l, spp_done
+                log(f"resumed checkpoint at {spp_done}/{spp} spp")
+            else:
+                log("checkpoint incompatible; starting fresh")
+        except FileNotFoundError:
+            pass
+
+    t_render = time.time()
+    passes = 0
+    while spp_done < spp:
+        s_hi = min(spp_done + chunk, spp)
+        rad, n_traced = trace_chunk(scene, camera, px, py, seed_key,
+                                    spp_done, s_hi)
+        jax.block_until_ready(rad)
+        acc += np.asarray(rad)
+        total_rays += float(n_traced)
+        spp_done = s_hi
+        passes += 1
+        elapsed = time.time() - t_render
+        log(f"  {spp_done}/{spp} spp  {elapsed:.1f}s  "
+            f"{total_rays / max(elapsed, 1e-9) / 1e6:.1f} Mrays/s")
+        if args.checkpoint and (passes % args.checkpoint_every == 0
+                                or spp_done >= spp):
+            rio.save_checkpoint(args.checkpoint, acc, spp_done, seed,
+                                {"scene": args.scene, "width": width,
+                                 "height": height})
+
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    image = (acc / max(spp_done, 1)).reshape(height, width, 3)
+    rgb8 = np.asarray(rrt_tpu.tonemap(jax.numpy.asarray(image)))
+    rio.write_image(args.output, rgb8)
+    dt = time.time() - t_render
+    log(f"wrote {args.output}  ({dt:.1f}s, {total_rays / 1e6:.1f}M rays, "
+        f"{total_rays / max(dt, 1e-9) / 1e6:.1f} Mrays/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .scene import BOUND_SPHERE, SceneArrays
 
-INF = jnp.float32(3.0e38)
+INF = 3.0e38  # python float: no device constant at import time
 T_MIN_DEFAULT = 1.0e-3
 
 FAM_NONE = -1
@@ -226,21 +226,13 @@ def intersect_media(scene: SceneArrays, o, d, t_min, t_max, u_med):
     return jnp.min(t_hit, axis=-1), idx
 
 
-def intersect_all(scene: SceneArrays, o, d, time, t_min, t_max, u_med):
-    """Merge closest hits across primitive families.
+def merge_solid_medium(scene: SceneArrays, o, d, t_min, t_max, u_med,
+                       ts, is_, tq, iq):
+    """Merge per-family closest hits into (t, family, idx, hit_mask).
 
-    Returns (t (N,), family (N,) i32, idx (N,) i32, hit_mask (N,)).
-
-    Ordering note: media are intersected against a t_max already shrunk by
-    the closest solid hit, matching the books' behavior where a scatter
-    event beyond the containing boundary cannot occur.
-    """
-    ts, is_ = intersect_spheres(scene, o, d, time, t_min, t_max)
-    if scene.has_quads:
-        tq, iq = intersect_quads(scene, o, d, t_min, t_max)
-    else:
-        tq = jnp.full_like(ts, INF)
-        iq = jnp.zeros_like(is_)
+    Media are intersected here against a t_max already shrunk by the
+    closest solid hit, matching the books' behavior where a scatter event
+    beyond the containing boundary cannot occur."""
     t_solid = jnp.minimum(ts, tq)
     if scene.has_media:
         tm, im = intersect_media(scene, o, d, t_min,
@@ -256,6 +248,20 @@ def intersect_all(scene: SceneArrays, o, d, time, t_min, t_max, u_med):
     hit_mask = t < INF
     fam = jnp.where(hit_mask, fam, FAM_NONE).astype(jnp.int32)
     return t, fam, idx, hit_mask
+
+
+def intersect_all(scene: SceneArrays, o, d, time, t_min, t_max, u_med):
+    """Merge closest hits across primitive families (XLA matmul-form path).
+
+    Returns (t (N,), family (N,) i32, idx (N,) i32, hit_mask (N,))."""
+    ts, is_ = intersect_spheres(scene, o, d, time, t_min, t_max)
+    if scene.has_quads:
+        tq, iq = intersect_quads(scene, o, d, t_min, t_max)
+    else:
+        tq = jnp.full_like(ts, INF)
+        iq = jnp.zeros_like(is_)
+    return merge_solid_medium(scene, o, d, t_min, t_max, u_med, ts, is_,
+                              tq, iq)
 
 
 def make_hit(scene: SceneArrays, o, d, time, t, fam, idx) -> Hit:

@@ -1,0 +1,62 @@
+"""Image IO: PPM/PNG writers and checkpoint save/restore.
+
+The reference always writes `o.ppm` (RGB8 via the image crate,
+src/main.rs:100-107). Here the output format follows the file extension,
+and long renders can checkpoint their float accumulator + sample cursor so
+a 500-spp render survives interruption (SURVEY.md §5.4) — re-rendering any
+remaining samples is exact because sample keys are (pixel, sample)
+addressed."""
+
+import json
+import struct
+import zlib
+
+import numpy as np
+
+
+def write_ppm(path: str, rgb8: np.ndarray) -> None:
+    h, w = rgb8.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(np.ascontiguousarray(rgb8, dtype=np.uint8).tobytes())
+
+
+def write_png(path: str, rgb8: np.ndarray) -> None:
+    """Minimal dependency-free PNG encoder (8-bit RGB, zlib filter 0)."""
+    h, w = rgb8.shape[:2]
+    raw = b"".join(
+        b"\x00" + np.ascontiguousarray(rgb8[y], np.uint8).tobytes()
+        for y in range(h))
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def write_image(path: str, rgb8: np.ndarray) -> None:
+    if path.endswith(".png"):
+        write_png(path, rgb8)
+    else:
+        write_ppm(path, rgb8)
+
+
+def save_checkpoint(path: str, radiance_sum: np.ndarray, spp_done: int,
+                    seed: int, meta: dict | None = None) -> None:
+    """Persist the float radiance accumulator (sum over samples) plus the
+    (seed, spp) cursor needed to resume exactly."""
+    np.savez_compressed(
+        path, radiance_sum=np.asarray(radiance_sum, np.float32),
+        spp_done=np.int64(spp_done), seed=np.int64(seed),
+        meta=json.dumps(meta or {}))
+
+
+def load_checkpoint(path: str):
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    return z["radiance_sum"], int(z["spp_done"]), int(z["seed"]), meta

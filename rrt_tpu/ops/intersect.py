@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-INF = jnp.float32(3.0e38)
+INF = 3.0e38  # python float: jnp constants may not be captured by kernels
 
 TN = 512  # rays per tile (lanes)
 TS = 256  # primitives per tile (sublanes)
@@ -35,6 +35,16 @@ TS = 256  # primitives per tile (sublanes)
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+def _pad_cols(mat, multiple):
+    """Zero-pad the last axis to a multiple (zero columns are inert: the
+    valid row is 0 for primitives; padded ray lanes are sliced off)."""
+    n = mat.shape[-1]
+    target = max(multiple, _round_up(n, multiple))
+    if target == n:
+        return mat
+    return jnp.pad(mat, ((0, 0), (0, target - n)))
 
 
 # ---------------------------------------------------------------------------
@@ -160,11 +170,14 @@ def _sphere_kernel(ray_ref, t_max_ref, sph_ref, t_out_ref, idx_out_ref, *,
 def sphere_intersect(rays8, t_max, spheres8, *, moving: bool):
     """rays8 (8, N) from pack_rays; spheres8 (8, S) from pack_spheres.
     Returns (t (N,), idx (N,) i32); misses have t == INF.
-    N must be a multiple of TN; S a multiple of TS (padding slots must have
-    valid == 0)."""
+    Inputs are zero-padded to tile multiples internally."""
     n = rays8.shape[1]
+    rays8 = _pad_cols(rays8, TN)
+    t_max = _pad_cols(t_max[None, :], TN)
+    spheres8 = _pad_cols(spheres8, TS)
+    n_pad = rays8.shape[1]
     s_count = spheres8.shape[1]
-    grid = (n // TN, s_count // TS)
+    grid = (n_pad // TN, s_count // TS)
 
     t, idx = pl.pallas_call(
         functools.partial(_sphere_kernel, moving=moving),
@@ -184,15 +197,15 @@ def sphere_intersect(rays8, t_max, spheres8, *, moving: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=35 * n * s_count, bytes_accessed=4 * (9 * n + 8 * s_count
-                                                        + 2 * n),
-            transcendentals=n * s_count),
-    )(rays8, t_max[None, :], spheres8)
-    return t[0], idx[0]
+            flops=35 * n_pad * s_count,
+            bytes_accessed=4 * (11 * n_pad + 8 * s_count),
+            transcendentals=n_pad * s_count),
+    )(rays8, t_max, spheres8)
+    return t[0, :n], idx[0, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -270,8 +283,12 @@ def quad_intersect(rays8, t_max, quads16):
     """rays8 (8, N); quads16 (16, Q) from pack_quads.
     Returns (t (N,), idx (N,) i32)."""
     n = rays8.shape[1]
+    rays8 = _pad_cols(rays8, TN)
+    t_max = _pad_cols(t_max[None, :], TN)
+    quads16 = _pad_cols(quads16, TS)
+    n_pad = rays8.shape[1]
     q_count = quads16.shape[1]
-    grid = (n // TN, q_count // TS)
+    grid = (n_pad // TN, q_count // TS)
 
     t, idx = pl.pallas_call(
         _quad_kernel,
@@ -291,13 +308,12 @@ def quad_intersect(rays8, t_max, quads16):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=30 * n * q_count, bytes_accessed=4 * (9 * n
-                                                        + 16 * q_count
-                                                        + 2 * n),
-            transcendentals=n),
-    )(rays8, t_max[None, :], quads16)
-    return t[0], idx[0]
+            flops=30 * n_pad * q_count,
+            bytes_accessed=4 * (11 * n_pad + 16 * q_count),
+            transcendentals=n_pad),
+    )(rays8, t_max, quads16)
+    return t[0, :n], idx[0, :n]

@@ -32,8 +32,9 @@ import jax.numpy as jnp
 
 from . import rng
 from .camera import Camera, generate_rays
-from .geometry import INF, intersect_all, make_hit
+from .geometry import INF, intersect_all, make_hit, merge_solid_medium
 from .materials import scatter
+from .ops import intersect as ops_intersect
 from .scene import BG_SKY, SceneArrays
 
 
@@ -51,6 +52,8 @@ class RenderConfig:
     tile_pixels: int = 16384
     samples_per_pass: int = 4
     t_min: float = 1.0e-3
+    # Use the fused Pallas intersection kernels (forward paths on TPU).
+    use_pallas: bool = False
 
 
 def background_color(scene: SceneArrays, d):
@@ -63,11 +66,23 @@ def background_color(scene: SceneArrays, d):
     return jnp.where(scene.bg_mode == BG_SKY, sky, scene.bg_bottom[None, :])
 
 
+def pack_scene(scene: SceneArrays):
+    """Pre-pack primitive matrices for the Pallas kernels (done once per
+    trace, outside the bounce loop)."""
+    return {
+        "spheres": ops_intersect.pack_spheres(scene),
+        "quads": ops_intersect.pack_quads(scene) if scene.has_quads
+        else None,
+    }
+
+
 def _shade(scene: SceneArrays, o, d, time, keys, bounce, alive, t_min,
-           max_depth):
+           max_depth, packed=None):
     """One physics step for a ray set: intersect, shade, scatter.
 
     bounce may be a scalar (batch driver) or per-lane array (queue driver).
+    packed: optional pre-packed primitive matrices — routes intersection
+    through the fused Pallas kernels instead of the XLA matmul form.
     Returns (contribution (N,3) — radiance to bank this step, scaled by
     throughput by the caller — new_o, new_d, attenuation, survives (N,)).
     """
@@ -79,8 +94,21 @@ def _shade(scene: SceneArrays, o, d, time, keys, bounce, alive, t_min,
 
     t_min_v = jnp.full((n,), t_min, jnp.float32)
     t_max_v = jnp.full((n,), INF, jnp.float32)
-    t, fam, idx, hit_mask = intersect_all(scene, o, d, time, t_min_v,
-                                          t_max_v, u_med)
+    if packed is not None:
+        rays8 = ops_intersect.pack_rays(o, d, time, t_min_v)
+        ts, is_ = ops_intersect.sphere_intersect(
+            rays8, t_max_v, packed["spheres"], moving=scene.has_moving)
+        if scene.has_quads:
+            tq, iq = ops_intersect.quad_intersect(rays8, t_max_v,
+                                                  packed["quads"])
+        else:
+            tq = jnp.full_like(ts, INF)
+            iq = jnp.zeros_like(is_)
+        t, fam, idx, hit_mask = merge_solid_medium(
+            scene, o, d, t_min_v, t_max_v, u_med, ts, is_, tq, iq)
+    else:
+        t, fam, idx, hit_mask = intersect_all(scene, o, d, time, t_min_v,
+                                              t_max_v, u_med)
     hit_mask = hit_mask & alive
     miss_mask = alive & ~hit_mask
 
@@ -99,10 +127,12 @@ def _shade(scene: SceneArrays, o, d, time, keys, bounce, alive, t_min,
     return contribution, new_o, new_d, sc.attenuation, survives
 
 
-def _bounce_body(scene, t_min, keys, carry, bounce, max_depth):
+def _bounce_body(scene, t_min, keys, carry, bounce, max_depth,
+                 packed=None):
     o, d, time, throughput, radiance, alive, n_traced = carry
     contribution, new_o, new_d, attenuation, survives = _shade(
-        scene, o, d, time, keys, bounce, alive, t_min, max_depth)
+        scene, o, d, time, keys, bounce, alive, t_min, max_depth,
+        packed=packed)
     radiance = radiance + throughput * contribution
     throughput = jnp.where(survives[:, None], throughput * attenuation,
                            throughput)
@@ -111,11 +141,11 @@ def _bounce_body(scene, t_min, keys, carry, bounce, max_depth):
 
 
 def trace_batch(scene: SceneArrays, o, d, time, keys, max_depth: int,
-                t_min: float, differentiable: bool):
+                t_min: float, differentiable: bool, packed=None):
     """Trace a fixed ray batch to completion.
 
     keys: per-lane sample keys (rng.sample_keys).
-    Returns (radiance (N,3), n_traced () int32)."""
+    Returns (radiance (N,3), n_traced ())."""
     n = o.shape[0]
     carry0 = (o, d, time,
               jnp.ones((n, 3), jnp.float32),  # throughput
@@ -123,7 +153,8 @@ def trace_batch(scene: SceneArrays, o, d, time, keys, max_depth: int,
               jnp.ones((n,), bool),  # alive
               jnp.zeros((), jnp.float32))  # rays traced (f32: metric only)
 
-    body = partial(_bounce_body, scene, t_min, keys, max_depth=max_depth)
+    body = partial(_bounce_body, scene, t_min, keys, max_depth=max_depth,
+                   packed=packed)
 
     if differentiable:
         ckpt_body = jax.checkpoint(lambda c, b: body(c, b))
@@ -193,21 +224,22 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         tm = jnp.where(issue, tm_new, tm)
         thr = jnp.where(sel, 1.0, thr)
         pix = jnp.where(issue, p_new, pix)
-        keys_data = jnp.where(sel, jax.random.key_data(new_keys),
-                              keys_data)
+        keys_data = jnp.where(sel, new_keys, keys_data)
         bounce = jnp.where(issue, 0, bounce)
         alive = alive | issue
         next_s = next_s + jnp.sum(issue.astype(jnp.int32))
         return (o, d, tm, thr, pix, keys_data, bounce, alive, next_s, acc,
                 n_traced)
 
+    packed = pack_scene(scene) if cfg.use_pallas else None
+
     def body(state):
         state = refill(state)
-        (o, d, tm, thr, pix, keys_data, bounce, alive, next_s, acc,
+        (o, d, tm, thr, pix, keys, bounce, alive, next_s, acc,
          n_traced) = state
-        keys = jax.random.wrap_key_data(keys_data)
         contribution, new_o, new_d, attenuation, survives = _shade(
-            scene, o, d, tm, keys, bounce, alive, cfg.t_min, cfg.max_depth)
+            scene, o, d, tm, keys, bounce, alive, cfg.t_min, cfg.max_depth,
+            packed=packed)
         acc = acc.at[pix].add(thr * contribution,
                               mode="drop", unique_indices=False)
         thr = jnp.where(survives[:, None], thr * attenuation, thr)
@@ -220,8 +252,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         alive, next_s = state[7], state[8]
         return (next_s < total) | jnp.any(alive)
 
-    dummy_keys = jax.random.key_data(
-        rng.sample_keys(seed_key, jnp.zeros((q,), jnp.uint32), 0))
+    dummy_keys = rng.sample_keys(seed_key, jnp.zeros((q,), jnp.uint32), 0)
     state0 = (jnp.zeros((q, 3), jnp.float32),  # o
               jnp.ones((q, 3), jnp.float32),  # d (non-degenerate)
               jnp.zeros((q,), jnp.float32),  # time
@@ -258,6 +289,8 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
     pyr = jnp.tile(py, spc)
     gid = (pyr * cfg.width + pxr).astype(jnp.uint32)
     replica = jnp.repeat(jnp.arange(spc, dtype=jnp.uint32), p_count)
+    packed = pack_scene(scene) if (cfg.use_pallas
+                                   and not differentiable) else None
 
     def one_pass(pass_i):
         samp = (jnp.uint32(pass_start) + pass_i.astype(jnp.uint32)) \
@@ -267,7 +300,7 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
                                  keys)
         radiance, n_traced = trace_batch(scene, o, d, tm, keys,
                                          cfg.max_depth, cfg.t_min,
-                                         differentiable)
+                                         differentiable, packed=packed)
         return jnp.sum(radiance.reshape(spc, p_count, 3), axis=0), n_traced
 
     def body(pass_i, acc):

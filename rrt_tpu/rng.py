@@ -9,16 +9,22 @@ pattern maps to a lockstep vector machine: mutable per-lane state serializes,
 and rejection loops have data-dependent trip counts.
 
 Here every draw is a pure function of (seed, pixel_id, sample_id, bounce,
-stream): a threefry key is folded per *lane*, so the radiance of any
-(pixel, sample) is independent of tile shape, batch size, queue compaction
-order, or mesh layout — strictly stronger determinism than the reference,
-whose output changes with thread count (SURVEY.md §1). It is also the
-recovery/checkpoint story: any subset of samples can be re-rendered
-in isolation (SURVEY.md §5.3/5.4).
+stream): the radiance of any (pixel, sample) is independent of tile shape,
+batch size, queue compaction order, or mesh layout — strictly stronger
+determinism than the reference, whose output changes with thread count
+(SURVEY.md §1). It is also the recovery/checkpoint story: any subset of
+samples can be re-rendered in isolation (SURVEY.md §5.3/5.4).
+
+Implementation note: draws use a hand-vectorized Threefry-2x32 over raw
+(N, 2) uint32 key words rather than per-lane `jax.vmap(jax.random.*)`.
+The vmapped jax.random path costs ~28 ms per draw batch at N=262k on TPU
+(per-lane key plumbing defeats its vectorization); the direct counter hash
+below is pure elementwise u32 VPU work (~200 ops/lane) and runs in <1 ms.
+Same construction as jax.random's threefry — counters in, iid words out.
 
 Rejection sampling is replaced with closed-form equal-distribution samplers:
 
-  * unit vector        = gaussian / ||gaussian||
+  * unit vector        = gaussian / ||gaussian||  (Box-Muller)
   * in unit sphere     = unit vector * cbrt(U)
   * in unit disc       = sqrt(U) * (cos 2πV, sin 2πV)
 """
@@ -27,8 +33,7 @@ import jax
 import jax.numpy as jnp
 
 # Stream ids: every distinct consumer of randomness inside one bounce gets
-# its own stream so draws never collide. Bounce/stream are combined as
-# bounce * 8 + stream, so at most 8 streams.
+# its own stream (the bounce/stream counter is bounce * 8 + stream).
 STREAM_CAMERA = 0  # pixel jitter (2) + lens disc (2) + shutter time (1)
 STREAM_SCATTER = 1  # lambertian/metal/isotropic dirs + dielectric choice
 STREAM_MEDIUM = 2  # constant-medium distance sampling
@@ -36,63 +41,143 @@ STREAM_RR = 3  # (reserved) russian roulette
 
 _NUM_STREAMS = 8
 
-
-def sample_keys(seed_key: jax.Array, pixel_gid: jax.Array,
-                sample_id: jax.Array) -> jax.Array:
-    """Per-lane root keys, shape like pixel_gid.
-
-    pixel_gid: global pixel index py*W+px. sample_id: 0..spp-1 (may be a
-    scalar or per-lane array)."""
-    sample_id = jnp.broadcast_to(jnp.asarray(sample_id, jnp.uint32),
-                                 pixel_gid.shape)
-    fold2 = lambda p, s: jax.random.fold_in(
-        jax.random.fold_in(seed_key, p), s)
-    return jax.vmap(fold2)(pixel_gid.astype(jnp.uint32), sample_id)
+_ROT_A = (13, 15, 26, 6)
+_ROT_B = (17, 29, 16, 24)
+_PARITY = jnp.uint32(0x1BD11BDA)
 
 
-def _lane_fold(keys: jax.Array, bounce, stream: int) -> jax.Array:
-    c = jnp.asarray(bounce, jnp.uint32) * _NUM_STREAMS + stream
-    c = jnp.broadcast_to(c, keys.shape)
-    return jax.vmap(jax.random.fold_in)(keys, c)
+def _rotl(x, r):
+    return (x << r) | (x >> (32 - r))
 
 
-def camera_draws(keys: jax.Array):
+def threefry2x32(k0, k1, c0, c1):
+    """Vectorized Threefry-2x32 (20 rounds). All args uint32 arrays
+    (broadcastable); returns two uint32 arrays of the broadcast shape."""
+    k0 = jnp.asarray(k0, jnp.uint32)
+    k1 = jnp.asarray(k1, jnp.uint32)
+    x0 = jnp.asarray(c0, jnp.uint32) + k0
+    x1 = jnp.asarray(c1, jnp.uint32) + k1
+    ks2 = k0 ^ k1 ^ _PARITY
+
+    def four_rounds(x0, x1, rots):
+        for r in rots:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x1 ^ x0
+        return x0, x1
+
+    x0, x1 = four_rounds(x0, x1, _ROT_A)
+    x0, x1 = x0 + k1, x1 + ks2 + jnp.uint32(1)
+    x0, x1 = four_rounds(x0, x1, _ROT_B)
+    x0, x1 = x0 + ks2, x1 + k0 + jnp.uint32(2)
+    x0, x1 = four_rounds(x0, x1, _ROT_A)
+    x0, x1 = x0 + k0, x1 + k1 + jnp.uint32(3)
+    x0, x1 = four_rounds(x0, x1, _ROT_B)
+    x0, x1 = x0 + k1, x1 + ks2 + jnp.uint32(4)
+    x0, x1 = four_rounds(x0, x1, _ROT_A)
+    x0, x1 = x0 + ks2, x1 + k0 + jnp.uint32(5)
+    return x0, x1
+
+
+def _seed_words(seed_key):
+    """Accept a jax PRNG key, an int, or raw (2,) uint32 words."""
+    if isinstance(seed_key, int):
+        return (jnp.uint32(seed_key & 0xFFFFFFFF),
+                jnp.uint32((seed_key >> 32) & 0xFFFFFFFF))
+    arr = jnp.asarray(seed_key)
+    if jnp.issubdtype(arr.dtype, jax.dtypes.prng_key):
+        arr = jax.random.key_data(seed_key)
+    arr = arr.astype(jnp.uint32).reshape(-1)
+    return arr[0], arr[-1]
+
+
+def sample_keys(seed_key, pixel_gid, sample_id):
+    """Per-lane sample key words, shape (N, 2) uint32.
+
+    pixel_gid: (N,) global pixel index py*W+px. sample_id: scalar or (N,).
+    """
+    s0, s1 = _seed_words(seed_key)
+    pixel_gid = jnp.asarray(pixel_gid).astype(jnp.uint32)
+    sample_id = jnp.broadcast_to(
+        jnp.asarray(sample_id).astype(jnp.uint32), pixel_gid.shape)
+    k0, k1 = threefry2x32(s0, s1, pixel_gid, sample_id)
+    return jnp.stack([k0, k1], axis=-1)
+
+
+def _words(keys, counter, n_words: int):
+    """n_words uint32 streams for this (bounce*8+stream) counter.
+    keys: (N, 2) uint32. Returns (n_words, N)."""
+    k0 = keys[..., 0]
+    k1 = keys[..., 1]
+    counter = jnp.broadcast_to(jnp.asarray(counter, jnp.uint32), k0.shape)
+    outs = []
+    for pair in range((n_words + 1) // 2):
+        a, b = threefry2x32(k0, k1, counter,
+                            jnp.uint32(pair) * jnp.uint32(0x9E3779B9)
+                            + jnp.uint32(pair))
+        outs.append(a)
+        outs.append(b)
+    return jnp.stack(outs[:n_words], axis=0)
+
+
+def _to_uniform(bits):
+    """uint32 -> float32 in [0, 1) using the top 24 bits."""
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24))
+
+
+def _counter(bounce, stream: int):
+    return jnp.asarray(bounce, jnp.uint32) * _NUM_STREAMS + stream
+
+
+def uniform_words(keys, bounce, stream: int, n: int):
+    """(n, N) float32 uniforms in [0,1) for one (bounce, stream)."""
+    return _to_uniform(_words(keys, _counter(bounce, stream), n))
+
+
+def _box_muller(u1, u2):
+    """Two iid standard normals from two uniforms."""
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - u1, 1e-12)))
+    th = (2.0 * jnp.pi) * u2
+    return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def _normalize3_rows(x, y, z):
+    n2 = x * x + y * y + z * z
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
+    return x * inv, y * inv, z * inv
+
+
+def camera_draws(keys):
     """(jitter (N,2), lens_disc (N,2), time_u (N,)) for the camera ray."""
-    k = _lane_fold(keys, 0, STREAM_CAMERA)
-    u = jax.vmap(lambda kk: jax.random.uniform(kk, (5,)))(k)
-    r = jnp.sqrt(u[:, 2])
-    theta = (2.0 * jnp.pi) * u[:, 3]
+    u = uniform_words(keys, 0, STREAM_CAMERA, 5)
+    r = jnp.sqrt(u[2])
+    theta = (2.0 * jnp.pi) * u[3]
+    jitter = jnp.stack([u[0], u[1]], axis=-1)
     disc = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
-    return u[:, 0:2], disc, u[:, 4]
+    return jitter, disc, u[4]
 
 
-def scatter_draws(keys: jax.Array, bounce):
+def scatter_draws(keys, bounce):
     """(unit_vec (N,3), in_sphere (N,3), choice (N,)) for one bounce."""
-    k = _lane_fold(keys, bounce, STREAM_SCATTER)
+    u = uniform_words(keys, bounce, STREAM_SCATTER, 8)
+    g0, g1 = _box_muller(u[0], u[1])
+    g2, g3 = _box_muller(u[2], u[3])
+    g4, g5 = _box_muller(u[4], u[5])
+    ux, uy, uz = _normalize3_rows(g0, g1, g2)
+    unit = jnp.stack([ux, uy, uz], axis=-1)
+    sx, sy, sz = _normalize3_rows(g3, g4, g5)
+    radius = jnp.cbrt(u[6])
+    sphere = jnp.stack([sx * radius, sy * radius, sz * radius], axis=-1)
+    return unit, sphere, u[7]
 
-    def one(kk):
-        g = jax.random.normal(kk, (6,))
-        u = jax.random.uniform(jax.random.fold_in(kk, 1), (2,))
-        return g, u
 
-    g, u = jax.vmap(one)(k)
-    unit = _normalize3(g[:, 0:3])
-    sphere = _normalize3(g[:, 3:6]) * jnp.cbrt(u[:, 0:1])
-    return unit, sphere, u[:, 1]
-
-
-def medium_draws(keys: jax.Array, bounce, n_media: int):
+def medium_draws(keys, bounce, n_media: int):
     """(N, n_media) uniforms for constant-medium distance sampling."""
-    k = _lane_fold(keys, bounce, STREAM_MEDIUM)
-    return jax.vmap(lambda kk: jax.random.uniform(kk, (n_media,)))(k)
+    return uniform_words(keys, bounce, STREAM_MEDIUM, n_media).T
 
 
-def _normalize3(g):
-    n2 = jnp.sum(g * g, axis=-1, keepdims=True)
-    return g * jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
-
-
-# --- batch-level helpers kept for tests/utilities ------------------------
+# --- batch-level helpers (tests/utilities) -------------------------------
 
 
 def uniform(key: jax.Array, shape) -> jax.Array:
@@ -102,7 +187,8 @@ def uniform(key: jax.Array, shape) -> jax.Array:
 def unit_vector(key: jax.Array, shape_prefix) -> jax.Array:
     """Uniform direction on S^2, shape (*shape_prefix, 3)."""
     g = jax.random.normal(key, (*shape_prefix, 3), dtype=jnp.float32)
-    return _normalize3(g)
+    n2 = jnp.sum(g * g, axis=-1, keepdims=True)
+    return g * jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
 
 
 def in_unit_sphere(key: jax.Array, shape_prefix) -> jax.Array:

@@ -122,6 +122,8 @@ class SceneArrays:
         default=False, metadata=dict(static=True))
     has_emissive: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    has_moving: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def n_spheres(self) -> int:
@@ -409,6 +411,8 @@ class SceneBuilder:
             has_perlin=bool((tex_type == TEX_PERLIN).any()),
             has_images=bool(self._images),
             has_emissive=bool((mat_type == MAT_DIFFUSE_LIGHT).any()),
+            has_moving=bool(np.abs(sphere_dc).max() > 0.0)
+            if len(self._spheres) else False,
         )
 
 
