@@ -245,7 +245,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         thr = jnp.where(survives[:, None], thr * attenuation, thr)
         bounce = bounce + survives.astype(jnp.int32)
         n_traced = n_traced + jnp.sum(alive.astype(jnp.float32))
-        return (new_o, new_d, tm, thr, pix, keys_data, bounce, survives,
+        return (new_o, new_d, tm, thr, pix, keys, bounce, survives,
                 next_s, acc, n_traced)
 
     def cond(state):
