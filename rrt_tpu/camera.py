@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from . import rng
+from .vec import V3
 
 
 @jax.tree_util.register_dataclass
@@ -76,20 +77,26 @@ def generate_rays(camera: Camera, px: jax.Array, py: jax.Array,
     keys: per-lane sample keys from rng.sample_keys — each ray's jitter,
     lens offset and shutter time are a pure function of its
     (seed, pixel, sample) identity.
-    Returns (origins (N,3), directions (N,3), times (N,)).
+    Returns (origins V3, directions V3, times (N,)) in component-SoA form.
     """
-    jitter, disc, time_u = rng.camera_draws(keys)
-    s = (px.astype(jnp.float32) + jitter[:, 0]) / jnp.float32(width)
-    t = ((jnp.float32(height - 1) - py.astype(jnp.float32)) + jitter[:, 1]) \
+    jx, jy, dcx, dcy, time_u = rng.camera_draws(keys)
+    s = (px.astype(jnp.float32) + jx) / jnp.float32(width)
+    t = ((jnp.float32(height - 1) - py.astype(jnp.float32)) + jy) \
         / jnp.float32(height)
 
     origin, lower_left, horizontal, vertical, u, v = camera.basis()
 
     lens_radius = camera.aperture * 0.5
-    rd = lens_radius * disc  # (N,2)
-    offset = rd[:, :1] * u[None, :] + rd[:, 1:2] * v[None, :]
-    origins = origin[None, :] + offset
-    directions = (lower_left[None, :] + s[:, None] * horizontal[None, :]
-                  + t[:, None] * vertical[None, :] - origins)
+    rdx = lens_radius * dcx  # (N,)
+    rdy = lens_radius * dcy
+    uu = V3(u[0], u[1], u[2])
+    vv = V3(v[0], v[1], v[2])
+    org = V3(origin[0], origin[1], origin[2])
+    ll = V3(lower_left[0], lower_left[1], lower_left[2])
+    hor = V3(horizontal[0], horizontal[1], horizontal[2])
+    ver = V3(vertical[0], vertical[1], vertical[2])
+
+    origins = org + uu * rdx + vv * rdy
+    directions = ll + hor * s + ver * t - origins
     times = camera.time0 + (camera.time1 - camera.time0) * time_u
     return origins, directions, times

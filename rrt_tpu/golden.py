@@ -40,13 +40,15 @@ def extract_draws(keys, n_media, max_depth):
     the draws depend only on each ray's (seed, pixel, sample) identity, so
     the golden consumes exactly what any driver (batch or queue) consumes."""
     draws = {}
+    stack = lambda v: np.stack([np.asarray(v.x), np.asarray(v.y),
+                                np.asarray(v.z)], axis=-1)
     for bounce in range(max_depth + 1):
         unit, sphere, choice = rng.scatter_draws(keys, bounce)
-        draws[(bounce, "unit")] = np.asarray(unit)
-        draws[(bounce, "sphere")] = np.asarray(sphere)
+        draws[(bounce, "unit")] = stack(unit)
+        draws[(bounce, "sphere")] = stack(sphere)
         draws[(bounce, "choice")] = np.asarray(choice)
         draws[(bounce, "medium")] = np.asarray(
-            rng.medium_draws(keys, bounce, max(n_media, 1)))
+            rng.medium_draws(keys, bounce, max(n_media, 1))).T  # (N,D)
     return draws
 
 

@@ -53,9 +53,11 @@ def _pad_cols(mat, multiple):
 
 
 def pack_rays(o, d, time, t_min):
-    """(8, N) ray component matrix: ox oy oz dx dy dz time t_min."""
-    return jnp.concatenate(
-        [o.T, d.T, time[None, :], t_min[None, :]], axis=0)
+    """(8, N) ray component matrix: ox oy oz dx dy dz time t_min.
+
+    o, d are component-SoA V3 — the stack is a cheap row concat with no
+    transposes (the (N,3) layout would need a lane-shuffling transpose)."""
+    return jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, time, t_min], axis=0)
 
 
 def pack_spheres(scene):

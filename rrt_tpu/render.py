@@ -2,8 +2,8 @@
 
 The reference's hot path is a per-pixel recursive `trace` to depth 50 with a
 BVH walk inside (reference: src/lib.rs:50-71, 96-103). On TPU the recursion
-inverts into an *iterative bounce loop over a megabatch of rays*. Two
-drivers share the physics:
+inverts into an *iterative bounce loop over a megabatch of rays* in
+component-SoA layout (rrt_tpu.vec). Two drivers share the physics:
 
 1. `trace_batch` — fixed ray batch, `lax.while_loop` (forward) or
    `lax.scan` + `jax.checkpoint` (reverse-differentiable with per-bounce
@@ -11,17 +11,18 @@ drivers share the physics:
    SURVEY.md §5.7).
 
 2. `trace_queue` — the fast forward path: a persistent ray queue with
-   stream compaction by *refill*. Dead lanes are immediately re-issued
-   with fresh (pixel, sample) camera rays, so occupancy stays ~100%
-   instead of decaying with the alive fraction (the divergence mitigation
-   of SURVEY.md §7 "hard parts" #3). Contributions scatter-add into a
-   per-pixel accumulator when lanes die.
+   stream compaction by *refill*. Dead lanes are re-issued with fresh
+   (pixel, sample) camera rays so occupancy stays high instead of decaying
+   with the alive fraction (SURVEY.md §7 "hard parts" #3). Refill (and its
+   cumsum + pixel scatter-add) runs once every `bounces_per_refill` bounce
+   steps to amortize the two expensive O(Q) structural ops.
 
 Because every random draw is keyed by (seed, pixel, sample, bounce)
-(rrt_tpu.rng), both drivers produce the *identical* image — bit-equal per
-sample — for any queue size, tile shape or batching. Discrete decisions
-(argmin winner, front-face, dielectric branch, metal absorption) are
-integer/boolean selects, so sampling is detached by construction.
+(rrt_tpu.rng), both drivers produce the *identical* per-sample radiance for
+any queue size, tile shape or batching; images differ only by f32 summation
+order. Discrete decisions (argmin winner, front-face, dielectric branch,
+metal absorption) are integer/boolean selects, so sampling is detached by
+construction.
 """
 
 import dataclasses
@@ -36,6 +37,7 @@ from .geometry import INF, intersect_all, make_hit, merge_solid_medium
 from .materials import scatter
 from .ops import intersect as ops_intersect
 from .scene import BG_SKY, SceneArrays
+from .vec import V3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,9 +46,10 @@ class RenderConfig:
     height: int = 225
     spp: int = 32
     max_depth: int = 50
-    # Queue renderer: number of in-flight rays (bounds the (Q, S)
-    # intersection working set in HBM/VMEM).
+    # Queue renderer: in-flight rays (bounds the (Q, S) working set) and
+    # bounce steps between compaction/refill passes.
     queue_size: int = 131072
+    bounces_per_refill: int = 4
     # Batch renderer (differentiable path): rays per traced batch =
     # tile_pixels * samples_per_pass.
     tile_pixels: int = 16384
@@ -56,14 +59,18 @@ class RenderConfig:
     use_pallas: bool = False
 
 
-def background_color(scene: SceneArrays, d):
+def background_color(scene: SceneArrays, d: V3) -> V3:
     """Miss shader: the RTIOW vertical sky lerp (reference src/lib.rs:66-70)
     or a solid color for emissive scenes."""
-    n2 = jnp.sum(d * d, axis=-1, keepdims=True)
-    unit_y = d[:, 1:2] * jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
+    unit_y = d.y * jax.lax.rsqrt(jnp.maximum(d.norm_sq(), 1e-20))
     t = 0.5 * (unit_y + 1.0)
-    sky = (1.0 - t) * scene.bg_bottom[None, :] + t * scene.bg_top[None, :]
-    return jnp.where(scene.bg_mode == BG_SKY, sky, scene.bg_bottom[None, :])
+    is_sky = scene.bg_mode == BG_SKY
+    bot = scene.bg_bottom
+    top = scene.bg_top
+    return V3(
+        jnp.where(is_sky, (1.0 - t) * bot[0] + t * top[0], bot[0]),
+        jnp.where(is_sky, (1.0 - t) * bot[1] + t * top[1], bot[1]),
+        jnp.where(is_sky, (1.0 - t) * bot[2] + t * top[2], bot[2]))
 
 
 def pack_scene(scene: SceneArrays):
@@ -76,17 +83,17 @@ def pack_scene(scene: SceneArrays):
     }
 
 
-def _shade(scene: SceneArrays, o, d, time, keys, bounce, alive, t_min,
-           max_depth, packed=None):
+def _shade(scene: SceneArrays, o: V3, d: V3, time, keys, bounce, alive,
+           t_min, max_depth, packed=None):
     """One physics step for a ray set: intersect, shade, scatter.
 
     bounce may be a scalar (batch driver) or per-lane array (queue driver).
     packed: optional pre-packed primitive matrices — routes intersection
-    through the fused Pallas kernels instead of the XLA matmul form.
-    Returns (contribution (N,3) — radiance to bank this step, scaled by
-    throughput by the caller — new_o, new_d, attenuation, survives (N,)).
+    through the fused Pallas kernels instead of the XLA broadcast form.
+    Returns (contribution V3 — radiance to bank this step, scaled by
+    throughput by the caller — new_o, new_d, attenuation V3, survives).
     """
-    n = o.shape[0]
+    n = o.x.shape[0]
     if scene.has_media:
         u_med = rng.medium_draws(keys, bounce, scene.n_media)
     else:
@@ -115,15 +122,15 @@ def _shade(scene: SceneArrays, o, d, time, keys, bounce, alive, t_min,
     hit = make_hit(scene, o, d, time, t, fam, idx)
     sc = scatter(scene, d, hit, keys, bounce)
 
-    contribution = background_color(scene, d) * miss_mask[:, None]
+    contribution = background_color(scene, d) * miss_mask
     if scene.has_emissive:
-        contribution = contribution + sc.emitted * hit_mask[:, None]
+        contribution = contribution + sc.emitted * hit_mask
 
     # The reference kills rays that hit at depth >= 50 *before* scattering
     # (src/lib.rs:58-60); misses at that depth still see the sky.
     survives = hit_mask & sc.scattered & (bounce < max_depth)
-    new_o = jnp.where(survives[:, None], hit.p, o)
-    new_d = jnp.where(survives[:, None], sc.direction, d)
+    new_o = V3.where(survives, hit.p, o)
+    new_d = V3.where(survives, sc.direction, d)
     return contribution, new_o, new_d, sc.attenuation, survives
 
 
@@ -134,22 +141,22 @@ def _bounce_body(scene, t_min, keys, carry, bounce, max_depth,
         scene, o, d, time, keys, bounce, alive, t_min, max_depth,
         packed=packed)
     radiance = radiance + throughput * contribution
-    throughput = jnp.where(survives[:, None], throughput * attenuation,
-                           throughput)
+    throughput = V3.where(survives, throughput * attenuation, throughput)
     n_traced = n_traced + jnp.sum(alive.astype(jnp.float32))
     return (new_o, new_d, time, throughput, radiance, survives, n_traced)
 
 
-def trace_batch(scene: SceneArrays, o, d, time, keys, max_depth: int,
-                t_min: float, differentiable: bool, packed=None):
+def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,
+                max_depth: int, t_min: float, differentiable: bool,
+                packed=None):
     """Trace a fixed ray batch to completion.
 
-    keys: per-lane sample keys (rng.sample_keys).
-    Returns (radiance (N,3), n_traced ())."""
-    n = o.shape[0]
+    keys: (N,2) per-lane sample key words (rng.sample_keys).
+    Returns (radiance V3, n_traced ())."""
+    n = o.x.shape[0]
     carry0 = (o, d, time,
-              jnp.ones((n, 3), jnp.float32),  # throughput
-              jnp.zeros((n, 3), jnp.float32),  # radiance
+              V3.ones((n,)),  # throughput
+              V3.zeros((n,)),  # radiance
               jnp.ones((n,), bool),  # alive
               jnp.zeros((), jnp.float32))  # rays traced (f32: metric only)
 
@@ -184,7 +191,7 @@ def trace_batch(scene: SceneArrays, o, d, time, keys, max_depth: int,
 
 
 def trace_queue(scene: SceneArrays, camera: Camera, px, py,
-                cfg: RenderConfig, seed_key, sample_lo: int, sample_hi,
+                cfg: RenderConfig, seed_key, sample_lo, sample_hi,
                 queue_size: int | None = None):
     """Render samples [sample_lo, sample_hi) of the given pixels with a
     persistent compacted ray queue.
@@ -197,13 +204,15 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
     """
     p_count = px.shape[0]
     q = queue_size or cfg.queue_size
-    q = min(q, p_count * int(sample_hi - sample_lo)) \
-        if isinstance(sample_hi, int) else q
+    if isinstance(sample_hi, int) and isinstance(sample_lo, int):
+        q = min(q, p_count * (sample_hi - sample_lo))
     pixel_gid = (py * cfg.width + px).astype(jnp.uint32)
     total = p_count * (sample_hi - sample_lo)
+    k_steps = max(1, cfg.bounces_per_refill)
+    packed = pack_scene(scene) if cfg.use_pallas else None
 
-    def refill(state):
-        (o, d, tm, thr, pix, keys_data, bounce, alive, next_s, acc,
+    def flush_refill(state):
+        (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
          n_traced) = state
         dead = ~alive
         ranks = jnp.cumsum(dead.astype(jnp.int32)) - 1
@@ -211,62 +220,78 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         issue = dead & (sidx < total)
         sidx_c = jnp.minimum(sidx, total - 1)
         p_new = (sidx_c % p_count).astype(jnp.int32)
-        s_new = (sidx_c // p_count).astype(jnp.uint32) + jnp.uint32(
-            sample_lo)
+        s_new = (sidx_c // p_count).astype(jnp.uint32) + jnp.asarray(
+            sample_lo, jnp.uint32)
+
+        # Flush finished samples' pending radiance into the pixel
+        # accumulator (one scatter-add per channel per refill pass).
+        fmask = issue.astype(jnp.float32)
+        acc = V3(acc.x.at[pix].add(pend.x * fmask, mode="drop"),
+                 acc.y.at[pix].add(pend.y * fmask, mode="drop"),
+                 acc.z.at[pix].add(pend.z * fmask, mode="drop"))
+        pend = V3.where(issue, V3.zeros(pend.x.shape), pend)
 
         new_keys = rng.sample_keys(seed_key, pixel_gid[p_new], s_new)
         o_new, d_new, tm_new = generate_rays(
             camera, px[p_new], py[p_new], cfg.width, cfg.height, new_keys)
 
-        sel = issue[:, None]
-        o = jnp.where(sel, o_new, o)
-        d = jnp.where(sel, d_new, d)
+        o = V3.where(issue, o_new, o)
+        d = V3.where(issue, d_new, d)
         tm = jnp.where(issue, tm_new, tm)
-        thr = jnp.where(sel, 1.0, thr)
+        thr = V3.where(issue, V3.ones(thr.x.shape), thr)
         pix = jnp.where(issue, p_new, pix)
-        keys_data = jnp.where(sel, new_keys, keys_data)
+        keys = jnp.where(issue[:, None], new_keys, keys)
         bounce = jnp.where(issue, 0, bounce)
         alive = alive | issue
         next_s = next_s + jnp.sum(issue.astype(jnp.int32))
-        return (o, d, tm, thr, pix, keys_data, bounce, alive, next_s, acc,
-                n_traced)
+        return (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s,
+                acc, n_traced)
 
-    packed = pack_scene(scene) if cfg.use_pallas else None
-
-    def body(state):
-        state = refill(state)
-        (o, d, tm, thr, pix, keys, bounce, alive, next_s, acc,
+    def bounce_step(_, state):
+        (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
          n_traced) = state
         contribution, new_o, new_d, attenuation, survives = _shade(
             scene, o, d, tm, keys, bounce, alive, cfg.t_min, cfg.max_depth,
             packed=packed)
-        acc = acc.at[pix].add(thr * contribution,
-                              mode="drop", unique_indices=False)
-        thr = jnp.where(survives[:, None], thr * attenuation, thr)
+        pend = pend + thr * contribution
+        thr = V3.where(survives, thr * attenuation, thr)
         bounce = bounce + survives.astype(jnp.int32)
         n_traced = n_traced + jnp.sum(alive.astype(jnp.float32))
-        return (new_o, new_d, tm, thr, pix, keys, bounce, survives,
+        return (new_o, new_d, tm, thr, pend, pix, keys, bounce, survives,
                 next_s, acc, n_traced)
 
+    def outer(state):
+        state = flush_refill(state)
+        return jax.lax.fori_loop(0, k_steps, bounce_step, state)
+
     def cond(state):
-        alive, next_s = state[7], state[8]
+        alive, next_s = state[8], state[9]
         return (next_s < total) | jnp.any(alive)
 
     dummy_keys = rng.sample_keys(seed_key, jnp.zeros((q,), jnp.uint32), 0)
-    state0 = (jnp.zeros((q, 3), jnp.float32),  # o
-              jnp.ones((q, 3), jnp.float32),  # d (non-degenerate)
+    state0 = (V3.zeros((q,)),  # o
+              V3.ones((q,)),  # d (non-degenerate)
               jnp.zeros((q,), jnp.float32),  # time
-              jnp.ones((q, 3), jnp.float32),  # throughput
+              V3.ones((q,)),  # throughput
+              V3.zeros((q,)),  # pending radiance (lane space)
               jnp.zeros((q,), jnp.int32),  # pixel index in tile
-              dummy_keys,  # per-lane key data
+              dummy_keys,  # per-lane key words (q,2)
               jnp.zeros((q,), jnp.int32),  # bounce counter
               jnp.zeros((q,), bool),  # alive
               jnp.zeros((), jnp.int32),  # next sample cursor
-              jnp.zeros((p_count, 3), jnp.float32),  # accumulator
-              jnp.zeros((), jnp.float32))  # rays traced (f32: metric only)
+              V3.zeros((p_count,)),  # pixel accumulator
+              jnp.zeros((), jnp.float32))  # rays traced (metric)
 
-    state = jax.lax.while_loop(cond, body, state0)
-    return state[9], state[10]
+    state = jax.lax.while_loop(cond, outer, state0)
+    (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
+     n_traced) = state
+    # Final flush: lanes that finished after the cursor was exhausted were
+    # never refilled, so their pending radiance is still lane-resident.
+    acc = V3(acc.x.at[pix].add(pend.x, mode="drop"),
+             acc.y.at[pix].add(pend.y, mode="drop"),
+             acc.z.at[pix].add(pend.z, mode="drop"))
+    radiance = jnp.stack([acc.x, acc.y, acc.z], axis=-1)
+    return radiance, n_traced
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +326,8 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
         radiance, n_traced = trace_batch(scene, o, d, tm, keys,
                                          cfg.max_depth, cfg.t_min,
                                          differentiable, packed=packed)
-        return jnp.sum(radiance.reshape(spc, p_count, 3), axis=0), n_traced
+        rad = jnp.stack([radiance.x, radiance.y, radiance.z], axis=-1)
+        return jnp.sum(rad.reshape(spc, p_count, 3), axis=0), n_traced
 
     def body(pass_i, acc):
         acc_rad, acc_n = acc
@@ -369,7 +395,8 @@ def render_image(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
 def render_image_queue(scene: SceneArrays, camera: Camera,
                        cfg: RenderConfig, seed):
     """Render the full image with the compacted-queue driver (forward
-    only). Bit-identical to render_image for the same (seed, cfg)."""
+    only). Per-sample radiance identical to render_image; pixel sums
+    differ only by f32 accumulation order."""
     seed_key = _as_key(seed)
     n_pix = cfg.width * cfg.height
     ids = jnp.arange(n_pix, dtype=jnp.int32)

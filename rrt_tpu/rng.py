@@ -32,6 +32,8 @@ Rejection sampling is replaced with closed-form equal-distribution samplers:
 import jax
 import jax.numpy as jnp
 
+from .vec import V3
+
 # Stream ids: every distinct consumer of randomness inside one bounce gets
 # its own stream (the bounce/stream counter is bounce * 8 + stream).
 STREAM_CAMERA = 0  # pixel jitter (2) + lens disc (2) + shutter time (1)
@@ -149,32 +151,30 @@ def _normalize3_rows(x, y, z):
 
 
 def camera_draws(keys):
-    """(jitter (N,2), lens_disc (N,2), time_u (N,)) for the camera ray."""
+    """(jx, jy, disc_x, disc_y, time_u), each (N,), for the camera ray."""
     u = uniform_words(keys, 0, STREAM_CAMERA, 5)
     r = jnp.sqrt(u[2])
     theta = (2.0 * jnp.pi) * u[3]
-    jitter = jnp.stack([u[0], u[1]], axis=-1)
-    disc = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
-    return jitter, disc, u[4]
+    return u[0], u[1], r * jnp.cos(theta), r * jnp.sin(theta), u[4]
 
 
 def scatter_draws(keys, bounce):
-    """(unit_vec (N,3), in_sphere (N,3), choice (N,)) for one bounce."""
+    """(unit_vec V3, in_sphere V3, choice (N,)) for one bounce."""
     u = uniform_words(keys, bounce, STREAM_SCATTER, 8)
     g0, g1 = _box_muller(u[0], u[1])
     g2, g3 = _box_muller(u[2], u[3])
     g4, g5 = _box_muller(u[4], u[5])
-    ux, uy, uz = _normalize3_rows(g0, g1, g2)
-    unit = jnp.stack([ux, uy, uz], axis=-1)
+    unit = V3(*_normalize3_rows(g0, g1, g2))
     sx, sy, sz = _normalize3_rows(g3, g4, g5)
     radius = jnp.cbrt(u[6])
-    sphere = jnp.stack([sx * radius, sy * radius, sz * radius], axis=-1)
+    sphere = V3(sx * radius, sy * radius, sz * radius)
     return unit, sphere, u[7]
 
 
 def medium_draws(keys, bounce, n_media: int):
-    """(N, n_media) uniforms for constant-medium distance sampling."""
-    return uniform_words(keys, bounce, STREAM_MEDIUM, n_media).T
+    """(n_media, N) uniforms for constant-medium distance sampling
+    (media-major so the minor dim stays lane-sized)."""
+    return uniform_words(keys, bounce, STREAM_MEDIUM, n_media)
 
 
 # --- batch-level helpers (tests/utilities) -------------------------------

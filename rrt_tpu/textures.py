@@ -2,50 +2,52 @@
 
 The reference has no textures (gap inventory, SURVEY.md §2.4); semantics
 follow RTTNW chs. 4-6. Evaluation is a branchless select over texture type
-for a whole ray batch; Perlin noise uses the book's gradient-lattice scheme
-with permutation tables stored as device arrays (8 small gathers per bounce
-batch — only paid when a scene actually samples noise).
+for a whole ray batch in component-SoA form; Perlin noise uses the book's
+gradient-lattice scheme with permutation tables as device arrays (8 small
+gathers per batch — only paid when a scene actually samples noise).
 """
 
-import jax
 import jax.numpy as jnp
 
-from .scene import (TEX_CHECKER, TEX_IMAGE, TEX_PERLIN, TEX_SOLID,
-                    SceneArrays)
+from .scene import TEX_CHECKER, TEX_PERLIN, TEX_SOLID, SceneArrays
+from .vec import V3
 
 
-def perlin_noise(scene: SceneArrays, p):
+def perlin_noise(scene: SceneArrays, p: V3):
     """Gradient-lattice noise in [-1,1], shape (N,). RTTNW ch. 5 scheme:
     hermite-smoothed trilinear interpolation of corner-gradient dots."""
-    pf = jnp.floor(p)
-    u = p - pf  # (N,3) in [0,1)
-    ijk = pf.astype(jnp.int32)  # (N,3)
-    uu = u * u * (3.0 - 2.0 * u)  # hermite smoothing
+    fx, fy, fz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
+    ux, uy, uz = p.x - fx, p.y - fy, p.z - fz
+    i = fx.astype(jnp.int32)
+    j = fy.astype(jnp.int32)
+    k = fz.astype(jnp.int32)
+    sx = ux * ux * (3.0 - 2.0 * ux)
+    sy = uy * uy * (3.0 - 2.0 * uy)
+    sz = uz * uz * (3.0 - 2.0 * uz)
 
     perm_x = scene.perlin_perm[0]
     perm_y = scene.perlin_perm[1]
     perm_z = scene.perlin_perm[2]
+    grad = V3.from_array(scene.perlin_randvec)
 
-    acc = jnp.zeros(p.shape[0], jnp.float32)
+    acc = jnp.zeros_like(p.x)
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                hx = perm_x[(ijk[:, 0] + di) & 255]
-                hy = perm_y[(ijk[:, 1] + dj) & 255]
-                hz = perm_z[(ijk[:, 2] + dk) & 255]
-                grad = scene.perlin_randvec[hx ^ hy ^ hz]  # (N,3)
-                weight = jnp.stack(
-                    [u[:, 0] - di, u[:, 1] - dj, u[:, 2] - dk], axis=-1)
-                w = ((uu[:, 0] if di else 1.0 - uu[:, 0])
-                     * (uu[:, 1] if dj else 1.0 - uu[:, 1])
-                     * (uu[:, 2] if dk else 1.0 - uu[:, 2]))
-                acc = acc + w * jnp.sum(grad * weight, axis=-1)
+                h = (perm_x[(i + di) & 255] ^ perm_y[(j + dj) & 255]
+                     ^ perm_z[(k + dk) & 255])
+                g = grad.gather(h)
+                dotv = (g.x * (ux - di) + g.y * (uy - dj)
+                        + g.z * (uz - dk))
+                w = ((sx if di else 1.0 - sx) * (sy if dj else 1.0 - sy)
+                     * (sz if dk else 1.0 - sz))
+                acc = acc + w * dotv
     return acc
 
 
-def perlin_turb(scene: SceneArrays, p, depth: int = 7):
+def perlin_turb(scene: SceneArrays, p: V3, depth: int = 7):
     """Turbulence: sum of |noise| octaves (RTTNW ch. 5.6)."""
-    acc = jnp.zeros(p.shape[0], jnp.float32)
+    acc = jnp.zeros_like(p.x)
     temp = p
     weight = 1.0
     for _ in range(depth):
@@ -55,25 +57,23 @@ def perlin_turb(scene: SceneArrays, p, depth: int = 7):
     return acc
 
 
-def texture_value(scene: SceneArrays, tex_id, u, v, p):
-    """Evaluate texture tex_id (N,) at surface uv (N,),(N,) and point p
-    (N,3) -> color (N,3)."""
+def texture_value(scene: SceneArrays, tex_id, u, v, p: V3) -> V3:
+    """Evaluate texture tex_id (N,) at surface uv and point p -> V3."""
     ttype = scene.tex_type[tex_id]
-    c1 = scene.tex_color1[tex_id]
-    c2 = scene.tex_color2[tex_id]
+    c1 = V3.from_array(scene.tex_color1).gather(tex_id)
+    c2 = V3.from_array(scene.tex_color2).gather(tex_id)
     scale = scene.tex_scale[tex_id]
 
     # Checker (RTTNW ch. 4.3 sine form).
-    s = (jnp.sin(scale * p[:, 0]) * jnp.sin(scale * p[:, 1])
-         * jnp.sin(scale * p[:, 2]))
-    checker = jnp.where((s < 0.0)[:, None], c2, c1)
+    s = (jnp.sin(scale * p.x) * jnp.sin(scale * p.y)
+         * jnp.sin(scale * p.z))
+    checker = V3.where(s < 0.0, c2, c1)
 
     # Marble (RTTNW ch. 5.7): modulate phase with turbulence. Only emitted
     # into the graph when the scene statically contains a perlin texture.
     if scene.has_perlin:
         turb = perlin_turb(scene, p)
-        marble = (0.5 * (1.0 + jnp.sin(scale * p[:, 2] + 10.0 * turb))
-                  )[:, None] * c1
+        marble = c1 * (0.5 * (1.0 + jnp.sin(scale * p.z + 10.0 * turb)))
     else:
         marble = c1
 
@@ -86,12 +86,13 @@ def texture_value(scene: SceneArrays, tex_id, u, v, p):
         vc = 1.0 - jnp.clip(v, 0.0, 1.0)
         xi = jnp.clip((uc * aw).astype(jnp.int32), 0, aw - 1)
         yi = jnp.clip((vc * ah).astype(jnp.int32), 0, ah - 1)
-        image = scene.images[jnp.clip(img_idx, 0, n_img - 1), yi, xi]
+        flat = scene.images.reshape(-1, 3)
+        lin = (jnp.clip(img_idx, 0, n_img - 1) * ah + yi) * aw + xi
+        image = V3(flat[lin, 0], flat[lin, 1], flat[lin, 2])
     else:
         image = c1
 
-    out = jnp.where((ttype == TEX_SOLID)[:, None], c1,
-                    jnp.where((ttype == TEX_CHECKER)[:, None], checker,
-                              jnp.where((ttype == TEX_PERLIN)[:, None],
-                                        marble, image)))
+    out = V3.where(ttype == TEX_SOLID, c1,
+                   V3.where(ttype == TEX_CHECKER, checker,
+                            V3.where(ttype == TEX_PERLIN, marble, image)))
     return out

@@ -7,11 +7,16 @@ import pytest
 from rrt_tpu.geometry import (FAM_SPHERE, INF, intersect_all,
                               intersect_quads, intersect_spheres, make_hit)
 from rrt_tpu.scene import SceneBuilder
+from rrt_tpu.vec import V3
+
+
+def _v3(vals):
+    a = jnp.asarray([vals], jnp.float32)
+    return V3(a[:, 0], a[:, 1], a[:, 2])
 
 
 def _ray(o, d):
-    return (jnp.asarray([o], jnp.float32), jnp.asarray([d], jnp.float32),
-            jnp.zeros((1,), jnp.float32))
+    return (_v3(o), _v3(d), jnp.zeros((1,), jnp.float32))
 
 
 def _bounds(n=1):
@@ -69,15 +74,17 @@ class TestSphere:
         # ray travels -z so d.outward < 0 is False -> front_face False,
         # and the shading normal is flipped back to +z.
         assert not bool(hit.front_face[0])
-        assert np.allclose(np.asarray(hit.normal[0]), [0, 0, 1], atol=1e-5)
+        nrm = [float(hit.normal.x[0]), float(hit.normal.y[0]),
+               float(hit.normal.z[0])]
+        assert np.allclose(nrm, [0, 0, 1], atol=1e-5)
 
     def test_moving_sphere_center_lerp(self):
         b = SceneBuilder()
         b.moving_sphere((0, 0, 0), (2, 0, 0), 0.0, 1.0, 0.5,
                         b.lambertian((0.5, 0.5, 0.5)))
         scene = b.build()
-        o = jnp.asarray([[1.0, 0.0, 5.0]], jnp.float32)
-        d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        o = _v3((1.0, 0.0, 5.0))
+        d = _v3((0.0, 0.0, -1.0))
         tm = jnp.asarray([0.5], jnp.float32)  # center at (1,0,0)
         t, _ = intersect_spheres(scene, o, d, tm, *_bounds())
         assert np.isclose(float(t[0]), 4.5, atol=1e-5)
@@ -128,7 +135,8 @@ class TestQuad:
                                           u_med)
         hit = make_hit(scene, o, d, tm, t, fam, idx)
         # q=(-1,-1), edges 2x2: point (0.5,-0.5) -> alpha=0.75, beta=0.25
-        assert np.allclose(np.asarray(hit.uv[0]), [0.75, 0.25], atol=1e-5)
+        assert np.allclose([float(hit.u[0]), float(hit.v[0])],
+                           [0.75, 0.25], atol=1e-5)
 
 
 class TestMedium:
@@ -141,7 +149,7 @@ class TestMedium:
         scene = b.build()
         o, d, tm = _ray((0, 0, 5), (0, 0, -1))
         tmin, tmax = _bounds()
-        u_med = jnp.full((1, scene.n_media), 0.999999, jnp.float32)
+        u_med = jnp.full((scene.n_media, 1), 0.999999, jnp.float32)
         t, fam, idx, mask = intersect_all(scene, o, d, tm, tmin, tmax,
                                           u_med)
         assert bool(mask[0])
@@ -154,7 +162,7 @@ class TestMedium:
         scene = b.build()
         o, d, tm = _ray((0, 0, 5), (0, 0, -1))
         tmin, tmax = _bounds()
-        u_med = jnp.full((1, scene.n_media), 0.5, jnp.float32)
+        u_med = jnp.full((scene.n_media, 1), 0.5, jnp.float32)
         t, fam, idx, mask = intersect_all(scene, o, d, tm, tmin, tmax,
                                           u_med)
         assert not bool(mask[0])
@@ -166,7 +174,7 @@ class TestMedium:
         scene = b.build()
         o, d, tm = _ray((0, 0, 5), (0, 0, -1))
         tmin, tmax = _bounds()
-        u_med = jnp.full((1, scene.n_media), 0.9999, jnp.float32)
+        u_med = jnp.full((scene.n_media, 1), 0.9999, jnp.float32)
         t, fam, idx, mask = intersect_all(scene, o, d, tm, tmin, tmax,
                                           u_med)
         assert bool(mask[0])

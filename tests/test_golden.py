@@ -32,13 +32,18 @@ def _compare(scene, cam, n_rays=96, width=32, height=18, seed=7,
     keys = rng.sample_keys(seed_key, gid, 0)
     o, d, tm = generate_rays(cam, px, py, width, height, keys)
 
-    radiance, _ = trace_batch(scene, o, d, tm, keys, MAX_DEPTH,
-                              t_min=1e-3, differentiable=False)
-    radiance = np.asarray(radiance)
+    rad_v3, _ = trace_batch(scene, o, d, tm, keys, MAX_DEPTH,
+                            t_min=1e-3, differentiable=False)
+    radiance = np.stack([np.asarray(rad_v3.x), np.asarray(rad_v3.y),
+                         np.asarray(rad_v3.z)], axis=-1)
 
     gs = golden.GoldenScene(scene)
     draws = golden.extract_draws(keys, scene.n_media, MAX_DEPTH)
-    o_np, d_np, tm_np = np.asarray(o), np.asarray(d), np.asarray(tm)
+    o_np = np.stack([np.asarray(o.x), np.asarray(o.y), np.asarray(o.z)],
+                    axis=-1)
+    d_np = np.stack([np.asarray(d.x), np.asarray(d.y), np.asarray(d.z)],
+                    axis=-1)
+    tm_np = np.asarray(tm)
     expected = np.stack([
         golden.trace_ray(gs, o_np[i], d_np[i], float(tm_np[i]), i, draws,
                          MAX_DEPTH) for i in range(n_rays)])
