@@ -1,0 +1,525 @@
+"""Fused bounce-step megakernel.
+
+Profiling the queue renderer shows each bounce step lowering to ~26 XLA
+fusions with a fixed ~1.1-1.3 ms launch/handshake cost apiece on the axon
+TPU runtime — ~29 ms/step of overhead against ~2 ms of physics. This
+kernel collapses the *entire* bounce step — sphere+quad intersection,
+winner-attribute selection, texture eval, all five material models,
+counter-based RNG, and the ray-state update — into a single Pallas launch,
+and runs K bounces per launch with the ray-tile state resident in VMEM.
+
+Key design points:
+  * winner *attributes* are selected with a one-hot MXU contraction
+    (attr_rows (24,TS) @ onehot (TS,TN) -> (24,TN)): Pallas TPU has no
+    efficient per-lane vector gather, and this keeps rays on lanes with
+    zero layout changes — the argmin one-hot is reused for all 24 rows;
+  * materials/textures ride along in the primitive pack (resolved per
+    primitive at pack time), so there is no table lookup at all;
+  * the RNG is the same vectorized Threefry-2x32 as rrt_tpu.rng (plain
+    u32 jnp ops, legal inside the kernel), so per-sample radiance keeps
+    the same (seed, pixel, sample, bounce, stream) addressing as the XLA
+    drivers;
+  * background colors/mode arrive via an SMEM operand so the kernel stays
+    scene-generic (no retrace on color changes).
+
+Scope: spheres + quads, solid/checker textures, all five materials,
+sky/solid background. Scenes with constant media, perlin or image
+textures fall back to the XLA path (render._shade).
+
+State layout, f32 (16, Q):
+  0-2 o | 3-5 d | 6 time | 7-9 throughput | 10-12 pending radiance
+  | 13 bounce | 14 alive | 15 pad
+Keys: (2, Q) uint32 sample key words.
+
+Sphere pack, f32 (24, S):
+  0-2 motion base | 3 r^2 | 4-6 motion vel | 7 valid | 8 mat_type
+  | 9 aux (fuzz or ior) | 10-12 color1 | 13-15 color2 | 16 tex_type
+  | 17 tex_scale | 18 signed radius | 19-23 pad
+Quad pack, f32 (24, Qd):
+  0-2 n | 3-5 g | 6-8 h | 9 d_plane | 10 q_g | 11 q_h | 12 eps_n
+  | 13 valid | 14 mat_type | 15 aux | 16-18 color1 | 19-21 color2
+  | 22 tex_type | 23 tex_scale
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rng
+from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
+                     MAT_LAMBERTIAN, MAT_METAL, TEX_CHECKER, SceneArrays)
+
+INF = 3.0e38
+
+TN = 512  # rays per tile
+TS = 256  # primitives per tile
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def supports(scene: SceneArrays) -> bool:
+    return not (scene.has_media or scene.has_perlin or scene.has_images)
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+
+def _mat_rows(scene, mat_ids):
+    """Per-primitive material/texture rows resolved at pack time."""
+    mtype = scene.mat_type[mat_ids].astype(jnp.float32)
+    fuzz = scene.mat_fuzz[mat_ids]
+    ior = scene.mat_ior[mat_ids]
+    aux = jnp.where(scene.mat_type[mat_ids] == MAT_DIELECTRIC, ior, fuzz)
+    tex = scene.mat_tex[mat_ids]
+    c1 = scene.tex_color1[tex]
+    c2 = scene.tex_color2[tex]
+    textype = scene.tex_type[tex].astype(jnp.float32)
+    texscale = scene.tex_scale[tex]
+    return mtype, aux, c1, c2, textype, texscale
+
+
+def pack_spheres_full(scene: SceneArrays):
+    base = scene.sphere_c0 - (scene.sphere_t0
+                              * scene.sphere_inv_dt)[:, None] \
+        * scene.sphere_dc
+    vel = scene.sphere_inv_dt[:, None] * scene.sphere_dc
+    r2 = scene.sphere_radius ** 2
+    mtype, aux, c1, c2, textype, texscale = _mat_rows(scene,
+                                                      scene.sphere_mat)
+    s = scene.sphere_radius.shape[0]
+    pad = jnp.zeros((5, s), jnp.float32)
+    mat = jnp.concatenate([
+        base.T, r2[None], vel.T,
+        scene.sphere_valid.astype(jnp.float32)[None],
+        mtype[None], aux[None], c1.T, c2.T, textype[None],
+        texscale[None], scene.sphere_radius[None], pad], axis=0)
+    target = _round_up(s, TS)
+    if target != s:
+        mat = jnp.pad(mat, ((0, 0), (0, target - s)))
+    return mat
+
+
+def pack_quads_full(scene: SceneArrays):
+    u, v, q = scene.quad_u, scene.quad_v, scene.quad_q
+    n = jnp.cross(u, v)
+    nn = jnp.sum(n * n, axis=-1, keepdims=True)
+    inv_nn = 1.0 / jnp.maximum(nn, 1e-20)
+    g = jnp.cross(v, n) * inv_nn
+    h = jnp.cross(n, u) * inv_nn
+    d_plane = jnp.sum(n * q, axis=-1)
+    q_g = jnp.sum(g * q, axis=-1)
+    q_h = jnp.sum(h * q, axis=-1)
+    eps_n = 1e-8 * jnp.sqrt(jnp.maximum(nn[:, 0], 1e-20))
+    mtype, aux, c1, c2, textype, texscale = _mat_rows(scene,
+                                                      scene.quad_mat)
+    mat = jnp.concatenate([
+        n.T, g.T, h.T, d_plane[None], q_g[None], q_h[None], eps_n[None],
+        scene.quad_valid.astype(jnp.float32)[None], mtype[None],
+        aux[None], c1.T, c2.T, textype[None], texscale[None]], axis=0)
+    nq = q.shape[0]
+    target = _round_up(nq, TS)
+    if target != nq:
+        mat = jnp.pad(mat, ((0, 0), (0, target - nq)))
+    return mat
+
+
+def pack_bg(scene: SceneArrays):
+    """(8,) f32 SMEM operand: bottom rgb, top rgb, mode, pad."""
+    return jnp.concatenate([
+        scene.bg_bottom, scene.bg_top,
+        scene.bg_mode.astype(jnp.float32)[None],
+        jnp.zeros((1,), jnp.float32)])
+
+
+def pack_state(o, d, time, thr, pend, bounce, alive):
+    """V3 components + scalars -> (16, Q) state matrix."""
+    z = jnp.zeros_like(time)
+    return jnp.stack([
+        o.x, o.y, o.z, d.x, d.y, d.z, time,
+        thr.x, thr.y, thr.z, pend.x, pend.y, pend.z,
+        bounce.astype(jnp.float32), alive.astype(jnp.float32), z], axis=0)
+
+
+def unpack_state(st):
+    from ..vec import V3
+    o = V3(st[0], st[1], st[2])
+    d = V3(st[3], st[4], st[5])
+    time = st[6]
+    thr = V3(st[7], st[8], st[9])
+    pend = V3(st[10], st[11], st[12])
+    bounce = st[13].astype(jnp.int32)
+    alive = st[14] > 0.5
+    return o, d, time, thr, pend, bounce, alive
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _draws(k0, k1, bounce_f):
+    """In-kernel scatter draws, identical addressing to
+    rng.scatter_draws. Returns (unit xyz, in-sphere xyz, choice)."""
+    counter = (bounce_f.astype(jnp.uint32) * jnp.uint32(rng._NUM_STREAMS)
+               + jnp.uint32(rng.STREAM_SCATTER))
+    us = []
+    for pair in range(4):
+        a, b = rng.threefry2x32(
+            k0, k1, counter,
+            jnp.uint32(pair) * jnp.uint32(0x9E3779B9) + jnp.uint32(pair))
+        us.append(rng._to_uniform(a))
+        us.append(rng._to_uniform(b))
+    g0, g1 = rng._box_muller(us[0], us[1])
+    g2, g3 = rng._box_muller(us[2], us[3])
+    g4, g5 = rng._box_muller(us[4], us[5])
+    inv = jax.lax.rsqrt(jnp.maximum(g0 * g0 + g1 * g1 + g2 * g2, 1e-20))
+    ux, uy, uz = g0 * inv, g1 * inv, g2 * inv
+    inv2 = jax.lax.rsqrt(jnp.maximum(g3 * g3 + g4 * g4 + g5 * g5, 1e-20))
+    rad = jnp.cbrt(us[6])
+    sx, sy, sz = g3 * inv2 * rad, g4 * inv2 * rad, g5 * inv2 * rad
+    return ux, uy, uz, sx, sy, sz, us[7]
+
+
+def _select_winner(blk, t_cand, t_best, attrs_best):
+    """Update running (t_best (1,TN), attrs (24,TN)) with this tile's
+    candidates. One-hot MXU contraction selects the tile winner's 24
+    attribute rows at once."""
+    tile_min = jnp.min(t_cand, axis=0, keepdims=True)  # (1,TN)
+    win = jnp.argmin(t_cand, axis=0)[None, :]  # (1,TN)
+    rows = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 0)
+    onehot = (rows == win).astype(jnp.float32)  # (TS,TN)
+    # HIGHEST: the MXU's default bf16 pass would quantize the selected
+    # centers (7-bit mantissa -> 0.4% normal error); the 3-pass f32
+    # emulation is exact for a one-hot contraction.
+    sel = jax.lax.dot_general(
+        blk, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (24,TN)
+    better = tile_min < t_best
+    t_best = jnp.where(better, tile_min, t_best)
+    attrs_best = jnp.where(better, sel, attrs_best)
+    return t_best, attrs_best
+
+
+def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
+                       state_out_ref, traced_ref, *, k_steps, s_tiles,
+                       q_tiles, moving, has_quads, t_min, max_depth):
+    st = state_ref[:, :]  # (16, TN)
+    k0 = keys_ref[0:1, :]
+    k1 = keys_ref[1:2, :]
+    traced = jnp.zeros((1, 1), jnp.float32)
+
+    ox, oy, oz = st[0:1], st[1:2], st[2:3]
+    dx, dy, dz = st[3:4], st[4:5], st[5:6]
+    time = st[6:7]
+    thx, thy, thz = st[7:8], st[8:9], st[9:10]
+    pex, pey, pez = st[10:11], st[11:12], st[12:13]
+    bounce = st[13:14]
+    alive = st[14:15] > 0.5
+
+    for _step in range(k_steps):
+        a = dx * dx + dy * dy + dz * dz
+        o_dot_d = ox * dx + oy * dy + oz * dz
+        o_dot_o = ox * ox + oy * oy + oz * oz
+        inv_a = 1.0 / a
+        d_len = jnp.sqrt(a)
+
+        # --- sphere family ----------------------------------------------
+        t_s = jnp.full((1, TN), INF, jnp.float32)
+        s_sel = jnp.zeros((24, TN), jnp.float32)
+        for si in range(s_tiles):
+            blk = sph_ref[:, si * TS:(si + 1) * TS]  # (24, TS)
+            bx = blk[0:1].T
+            by = blk[1:2].T
+            bz = blk[2:3].T
+            r2 = blk[3:4].T
+            valid = blk[7:8].T > 0.5
+            if moving:
+                cxt = bx + time * blk[4:5].T
+                cyt = by + time * blk[5:6].T
+                czt = bz + time * blk[6:7].T
+            else:
+                cxt, cyt, czt = bx, by, bz
+            d_c = dx * cxt + dy * cyt + dz * czt
+            o_c = ox * cxt + oy * cyt + oz * czt
+            c_sq = cxt * cxt + cyt * cyt + czt * czt
+            half_b = o_dot_d - d_c
+            c_coef = o_dot_o - 2.0 * o_c + c_sq - r2
+            disc = half_b * half_b - a * c_coef
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root0 = (-half_b - sq) * inv_a
+            root1 = (-half_b + sq) * inv_a
+            ok = (disc > 0.0) & valid
+            in0 = ok & (root0 > t_min) & (root0 < t_s)
+            in1 = ok & (root1 > t_min) & (root1 < t_s)
+            t_cand = jnp.where(in0, root0, jnp.where(in1, root1, INF))
+            t_s, s_sel = _select_winner(blk, t_cand, t_s, s_sel)
+
+        # --- quad family ------------------------------------------------
+        if has_quads:
+            t_q = jnp.full((1, TN), INF, jnp.float32)
+            q_sel = jnp.zeros((24, TN), jnp.float32)
+            for qi in range(q_tiles):
+                blk = quad_ref[:, qi * TS:(qi + 1) * TS]
+                nx = blk[0:1].T
+                ny = blk[1:2].T
+                nz = blk[2:3].T
+                gx = blk[3:4].T
+                gy = blk[4:5].T
+                gz = blk[5:6].T
+                hx = blk[6:7].T
+                hy = blk[7:8].T
+                hz = blk[8:9].T
+                d_plane = blk[9:10].T
+                q_g = blk[10:11].T
+                q_h = blk[11:12].T
+                eps_n = blk[12:13].T
+                valid = blk[13:14].T > 0.5
+                denom = dx * nx + dy * ny + dz * nz
+                o_n = ox * nx + oy * ny + oz * nz
+                not_par = jnp.abs(denom) > eps_n * d_len
+                t = (d_plane - o_n) / jnp.where(not_par, denom, 1.0)
+                o_g = ox * gx + oy * gy + oz * gz
+                d_g = dx * gx + dy * gy + dz * gz
+                o_h = ox * hx + oy * hy + oz * hz
+                d_h = dx * hx + dy * hy + dz * hz
+                alpha = o_g + t * d_g - q_g
+                beta = o_h + t * d_h - q_h
+                ok = (valid & not_par & (t > t_min) & (t < t_q)
+                      & (alpha >= 0.0) & (alpha <= 1.0)
+                      & (beta >= 0.0) & (beta <= 1.0))
+                t_cand = jnp.where(ok, t, INF)
+                t_q, q_sel = _select_winner(blk, t_cand, t_q, q_sel)
+
+            use_q = t_q < t_s
+            t_hit = jnp.where(use_q, t_q, t_s)
+        else:
+            use_q = jnp.zeros((1, TN), bool)
+            t_hit = t_s
+
+        hit = (t_hit < INF) & alive
+        miss = alive & ~hit
+
+        # --- winner surface ---------------------------------------------
+        t_eff = jnp.where(hit, t_hit, 0.0)
+        px_ = ox + t_eff * dx
+        py_ = oy + t_eff * dy
+        pz_ = oz + t_eff * dz
+
+        # sphere center at ray time + signed radius -> outward normal
+        if moving:
+            scx = s_sel[0:1] + time * s_sel[4:5]
+            scy = s_sel[1:2] + time * s_sel[5:6]
+            scz = s_sel[2:3] + time * s_sel[6:7]
+        else:
+            scx, scy, scz = s_sel[0:1], s_sel[1:2], s_sel[2:3]
+        srad = s_sel[18:19]
+        inv_r = 1.0 / jnp.where(jnp.abs(srad) > 1e-20, srad, 1.0)
+        sonx = (px_ - scx) * inv_r
+        sony = (py_ - scy) * inv_r
+        sonz = (pz_ - scz) * inv_r
+
+        if has_quads:
+            qinv = jax.lax.rsqrt(jnp.maximum(
+                q_sel[0:1] ** 2 + q_sel[1:2] ** 2 + q_sel[2:3] ** 2,
+                1e-20))
+            outx = jnp.where(use_q, q_sel[0:1] * qinv, sonx)
+            outy = jnp.where(use_q, q_sel[1:2] * qinv, sony)
+            outz = jnp.where(use_q, q_sel[2:3] * qinv, sonz)
+            mtype = jnp.where(use_q, q_sel[14:15], s_sel[8:9])
+            aux = jnp.where(use_q, q_sel[15:16], s_sel[9:10])
+            c1r = jnp.where(use_q, q_sel[16:17], s_sel[10:11])
+            c1g = jnp.where(use_q, q_sel[17:18], s_sel[11:12])
+            c1b = jnp.where(use_q, q_sel[18:19], s_sel[12:13])
+            c2r = jnp.where(use_q, q_sel[19:20], s_sel[13:14])
+            c2g = jnp.where(use_q, q_sel[20:21], s_sel[14:15])
+            c2b = jnp.where(use_q, q_sel[21:22], s_sel[15:16])
+            textype = jnp.where(use_q, q_sel[22:23], s_sel[16:17])
+            texscale = jnp.where(use_q, q_sel[23:24], s_sel[17:18])
+        else:
+            outx, outy, outz = sonx, sony, sonz
+            mtype, aux = s_sel[8:9], s_sel[9:10]
+            c1r, c1g, c1b = s_sel[10:11], s_sel[11:12], s_sel[12:13]
+            c2r, c2g, c2b = s_sel[13:14], s_sel[14:15], s_sel[15:16]
+            textype, texscale = s_sel[16:17], s_sel[17:18]
+
+        d_dot_out = dx * outx + dy * outy + dz * outz
+        front = d_dot_out < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx_ = outx * sgn
+        ny_ = outy * sgn
+        nz_ = outz * sgn
+
+        # --- texture (solid / checker) ----------------------------------
+        sines = (jnp.sin(texscale * px_) * jnp.sin(texscale * py_)
+                 * jnp.sin(texscale * pz_))
+        use_c2 = (textype == TEX_CHECKER) & (sines < 0.0)
+        albr = jnp.where(use_c2, c2r, c1r)
+        albg = jnp.where(use_c2, c2g, c1g)
+        albb = jnp.where(use_c2, c2b, c1b)
+
+        # --- draws ------------------------------------------------------
+        ux, uy_, uz, sx, sy, sz, u_choice = _draws(k0, k1, bounce)
+
+        # --- materials --------------------------------------------------
+        ldx = nx_ + ux
+        ldy = ny_ + uy_
+        ldz = nz_ + uz
+        degen = (jnp.abs(ldx) < 1e-8) & (jnp.abs(ldy) < 1e-8) \
+            & (jnp.abs(ldz) < 1e-8)
+        ldx = jnp.where(degen, nx_, ldx)
+        ldy = jnp.where(degen, ny_, ldy)
+        ldz = jnp.where(degen, nz_, ldz)
+
+        inv_dl = 1.0 / jnp.maximum(d_len, 1e-20)
+        udx = dx * inv_dl
+        udy = dy * inv_dl
+        udz = dz * inv_dl
+        ud_n = udx * nx_ + udy * ny_ + udz * nz_
+        rfx = udx - 2.0 * ud_n * nx_
+        rfy = udy - 2.0 * ud_n * ny_
+        rfz = udz - 2.0 * ud_n * nz_
+        mdx = rfx + aux * sx
+        mdy = rfy + aux * sy
+        mdz = rfz + aux * sz
+        met_ok = (mdx * nx_ + mdy * ny_ + mdz * nz_) > 0.0
+
+        ratio = jnp.where(front, 1.0 / jnp.maximum(aux, 1e-20), aux)
+        cos_t = jnp.minimum(-ud_n, 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        cannot = ratio * sin_t > 1.0
+        r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
+        omc = 1.0 - cos_t
+        schlick = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+        do_reflect = cannot | (schlick > u_choice)
+        rpx = ratio * (udx + cos_t * nx_)
+        rpy = ratio * (udy + cos_t * ny_)
+        rpz = ratio * (udz + cos_t * nz_)
+        rpar_sq = 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
+        rlen = jnp.sqrt(jnp.maximum(rpar_sq, 0.0))
+        ddx = jnp.where(do_reflect, rfx, rpx - rlen * nx_)
+        ddy = jnp.where(do_reflect, rfy, rpy - rlen * ny_)
+        ddz = jnp.where(do_reflect, rfz, rpz - rlen * nz_)
+
+        is_lam = mtype == MAT_LAMBERTIAN
+        is_met = mtype == MAT_METAL
+        is_die = mtype == MAT_DIELECTRIC
+        is_iso = mtype == MAT_ISOTROPIC
+        is_light = mtype == MAT_DIFFUSE_LIGHT
+
+        ndx = jnp.where(is_lam, ldx,
+                        jnp.where(is_met, mdx,
+                                  jnp.where(is_die, ddx, sx)))
+        ndy = jnp.where(is_lam, ldy,
+                        jnp.where(is_met, mdy,
+                                  jnp.where(is_die, ddy, sy)))
+        ndz = jnp.where(is_lam, ldz,
+                        jnp.where(is_met, mdz,
+                                  jnp.where(is_die, ddz, sz)))
+        atr = jnp.where(is_die, 1.0, albr)
+        atg = jnp.where(is_die, 1.0, albg)
+        atb = jnp.where(is_die, 1.0, albb)
+
+        # --- contributions (miss background + emissive hits) ------------
+        inv_dl2 = jax.lax.rsqrt(jnp.maximum(a, 1e-20))
+        tsky = 0.5 * (dy * inv_dl2 + 1.0)
+        is_sky = bg_ref[6] < 0.5  # BG_SKY == 0
+        bgr = jnp.where(is_sky,
+                        (1.0 - tsky) * bg_ref[0] + tsky * bg_ref[3],
+                        bg_ref[0])
+        bgg = jnp.where(is_sky,
+                        (1.0 - tsky) * bg_ref[1] + tsky * bg_ref[4],
+                        bg_ref[1])
+        bgb = jnp.where(is_sky,
+                        (1.0 - tsky) * bg_ref[2] + tsky * bg_ref[5],
+                        bg_ref[2])
+        missf = miss.astype(jnp.float32)
+        lightf = (hit & is_light).astype(jnp.float32)
+        pex = pex + thx * (bgr * missf + albr * lightf)
+        pey = pey + thy * (bgg * missf + albg * lightf)
+        pez = pez + thz * (bgb * missf + albb * lightf)
+
+        # --- survival + state update ------------------------------------
+        scattered = jnp.where(is_met, met_ok, is_lam | is_die | is_iso)
+        survives = hit & scattered & (bounce < max_depth)
+        ox = jnp.where(survives, px_, ox)
+        oy = jnp.where(survives, py_, oy)
+        oz = jnp.where(survives, pz_, oz)
+        dx = jnp.where(survives, ndx, dx)
+        dy = jnp.where(survives, ndy, dy)
+        dz = jnp.where(survives, ndz, dz)
+        thx = jnp.where(survives, thx * atr, thx)
+        thy = jnp.where(survives, thy * atg, thy)
+        thz = jnp.where(survives, thz * atb, thz)
+        bounce = bounce + survives.astype(jnp.float32)
+        traced = traced + jnp.sum(alive.astype(jnp.float32))
+        alive = survives
+
+    out = jnp.concatenate([
+        ox, oy, oz, dx, dy, dz, time, thx, thy, thz, pex, pey, pez,
+        bounce, alive.astype(jnp.float32),
+        jnp.zeros((1, TN), jnp.float32)], axis=0)
+    state_out_ref[:, :] = out
+    traced_ref[0:1, 0:1] = traced
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_steps", "moving", "has_quads", "max_depth",
+                     "t_min"))
+def bounce_steps(state, keys, spheres24, quads24, bg8, *, k_steps: int,
+                 moving: bool, has_quads: bool, max_depth: int,
+                 t_min: float):
+    """Run k_steps fused bounce steps.
+
+    state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
+    quads24 (24, Qd) (dummy (24, TS) zeros when has_quads is False);
+    bg8 (8,) f32 from pack_bg. Returns (state', n_traced)."""
+    q = state.shape[1]
+    s_count = spheres24.shape[1]
+    q_count = quads24.shape[1]
+    n_tiles = q // TN
+
+    kern = functools.partial(
+        _bounce_megakernel, k_steps=k_steps, s_tiles=s_count // TS,
+        q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
+        t_min=t_min, max_depth=float(max_depth))
+
+    state_out, traced = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((16, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, s_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, q_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, q), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tiles), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=k_steps * 40 * q * (s_count + q_count),
+            bytes_accessed=4 * (2 * 16 * q + 2 * q
+                                + 24 * (s_count + q_count)),
+            transcendentals=k_steps * q * 40),
+    )(state, keys, spheres24, quads24, bg8)
+    return state_out, jnp.sum(traced)

@@ -36,6 +36,7 @@ from .camera import Camera, generate_rays
 from .geometry import INF, intersect_all, make_hit, merge_solid_medium
 from .materials import scatter
 from .ops import intersect as ops_intersect
+from .ops import megakernel as ops_mega
 from .scene import BG_SKY, SceneArrays
 from .vec import V3
 
@@ -57,6 +58,9 @@ class RenderConfig:
     t_min: float = 1.0e-3
     # Use the fused Pallas intersection kernels (forward paths on TPU).
     use_pallas: bool = False
+    # Use the fused bounce-step megakernel in the queue driver (TPU;
+    # scenes without media/perlin/image textures — auto-fallback).
+    use_megakernel: bool = False
 
 
 def background_color(scene: SceneArrays, d: V3) -> V3:
@@ -206,10 +210,17 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
     q = queue_size or cfg.queue_size
     if isinstance(sample_hi, int) and isinstance(sample_lo, int):
         q = min(q, p_count * (sample_hi - sample_lo))
+    q = -(-q // ops_mega.TN) * ops_mega.TN  # megakernel tile alignment
     pixel_gid = (py * cfg.width + px).astype(jnp.uint32)
     total = p_count * (sample_hi - sample_lo)
     k_steps = max(1, cfg.bounces_per_refill)
     packed = pack_scene(scene) if cfg.use_pallas else None
+    use_mk = cfg.use_megakernel and ops_mega.supports(scene)
+    if use_mk:
+        sph24 = ops_mega.pack_spheres_full(scene)
+        quad24 = (ops_mega.pack_quads_full(scene) if scene.has_quads
+                  else jnp.zeros((24, ops_mega.TS), jnp.float32))
+        bg8 = ops_mega.pack_bg(scene)
 
     def flush_refill(state):
         (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
@@ -240,7 +251,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         tm = jnp.where(issue, tm_new, tm)
         thr = V3.where(issue, V3.ones(thr.x.shape), thr)
         pix = jnp.where(issue, p_new, pix)
-        keys = jnp.where(issue[:, None], new_keys, keys)
+        keys = jnp.where(issue[None, :], new_keys, keys)
         bounce = jnp.where(issue, 0, bounce)
         alive = alive | issue
         next_s = next_s + jnp.sum(issue.astype(jnp.int32))
@@ -262,6 +273,17 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
 
     def outer(state):
         state = flush_refill(state)
+        if use_mk:
+            (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
+             n_traced) = state
+            st = ops_mega.pack_state(o, d, tm, thr, pend, bounce, alive)
+            st2, nt = ops_mega.bounce_steps(
+                st, keys, sph24, quad24, bg8, k_steps=k_steps,
+                moving=scene.has_moving, has_quads=scene.has_quads,
+                max_depth=cfg.max_depth, t_min=cfg.t_min)
+            o, d, tm, thr, pend, bounce, alive = ops_mega.unpack_state(st2)
+            return (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s,
+                    acc, n_traced + nt)
         return jax.lax.fori_loop(0, k_steps, bounce_step, state)
 
     def cond(state):
@@ -275,7 +297,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
               V3.ones((q,)),  # throughput
               V3.zeros((q,)),  # pending radiance (lane space)
               jnp.zeros((q,), jnp.int32),  # pixel index in tile
-              dummy_keys,  # per-lane key words (q,2)
+              dummy_keys,  # per-lane key words (2,q)
               jnp.zeros((q,), jnp.int32),  # bounce counter
               jnp.zeros((q,), bool),  # alive
               jnp.zeros((), jnp.int32),  # next sample cursor

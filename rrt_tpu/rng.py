@@ -45,7 +45,7 @@ _NUM_STREAMS = 8
 
 _ROT_A = (13, 15, 26, 6)
 _ROT_B = (17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+_PARITY = 0x1BD11BDA  # python int: jnp constants may not be captured by kernels
 
 
 def _rotl(x, r):
@@ -59,7 +59,7 @@ def threefry2x32(k0, k1, c0, c1):
     k1 = jnp.asarray(k1, jnp.uint32)
     x0 = jnp.asarray(c0, jnp.uint32) + k0
     x1 = jnp.asarray(c1, jnp.uint32) + k1
-    ks2 = k0 ^ k1 ^ _PARITY
+    ks2 = k0 ^ k1 ^ jnp.uint32(_PARITY)
 
     def four_rounds(x0, x1, rots):
         for r in rots:
@@ -94,7 +94,8 @@ def _seed_words(seed_key):
 
 
 def sample_keys(seed_key, pixel_gid, sample_id):
-    """Per-lane sample key words, shape (N, 2) uint32.
+    """Per-lane sample key words, shape (2, N) uint32 (row-major so the
+    minor dim stays lane-sized; see rrt_tpu.vec on (N,2) padding).
 
     pixel_gid: (N,) global pixel index py*W+px. sample_id: scalar or (N,).
     """
@@ -103,14 +104,14 @@ def sample_keys(seed_key, pixel_gid, sample_id):
     sample_id = jnp.broadcast_to(
         jnp.asarray(sample_id).astype(jnp.uint32), pixel_gid.shape)
     k0, k1 = threefry2x32(s0, s1, pixel_gid, sample_id)
-    return jnp.stack([k0, k1], axis=-1)
+    return jnp.stack([k0, k1], axis=0)
 
 
 def _words(keys, counter, n_words: int):
     """n_words uint32 streams for this (bounce*8+stream) counter.
-    keys: (N, 2) uint32. Returns (n_words, N)."""
-    k0 = keys[..., 0]
-    k1 = keys[..., 1]
+    keys: (2, N) uint32 rows. Returns (n_words, N)."""
+    k0 = keys[0]
+    k1 = keys[1]
     counter = jnp.broadcast_to(jnp.asarray(counter, jnp.uint32), k0.shape)
     outs = []
     for pair in range((n_words + 1) // 2):

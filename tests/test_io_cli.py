@@ -1,0 +1,84 @@
+"""IO, CLI and checkpoint/resume tests (SURVEY.md §5.4/5.6)."""
+
+import os
+import subprocess
+import sys
+import zlib
+
+import numpy as np
+
+from rrt_tpu import io as rio
+
+
+def test_ppm_roundtrip(tmp_path):
+    img = (np.arange(2 * 3 * 3) % 255).astype(np.uint8).reshape(2, 3, 3)
+    p = str(tmp_path / "x.ppm")
+    rio.write_ppm(p, img)
+    data = open(p, "rb").read()
+    assert data.startswith(b"P6\n3 2\n255\n")
+    assert data.endswith(img.tobytes())
+
+
+def test_png_valid_structure(tmp_path):
+    img = np.zeros((4, 5, 3), np.uint8)
+    img[1, 2] = (255, 10, 3)
+    p = str(tmp_path / "x.png")
+    rio.write_png(p, img)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode IDAT and check the raw pixel survives
+    idat_start = data.index(b"IDAT") + 4
+    idat_len = int.from_bytes(data[idat_start - 8:idat_start - 4], "big")
+    raw = zlib.decompress(data[idat_start:idat_start + idat_len])
+    row1 = raw[1 * (1 + 5 * 3):2 * (1 + 5 * 3)][1:]
+    assert tuple(row1[6:9]) == (255, 10, 3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = str(tmp_path / "ck.npz")
+    acc = np.random.rand(12, 3).astype(np.float32)
+    rio.save_checkpoint(p, acc, 17, 42, {"scene": "diffuse"})
+    acc2, spp, seed, meta = rio.load_checkpoint(p)
+    np.testing.assert_array_equal(acc, acc2)
+    assert (spp, seed, meta["scene"]) == (17, 42, "diffuse")
+
+
+def _run_cli(*args):
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Append (not replace): the environment's PYTHONPATH carries the
+    # platform plugin; clobbering it breaks `import jax`.
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "rrt_tpu.cli", "--cpu", *args],
+        capture_output=True, text=True, env=env, timeout=500)
+
+
+def test_cli_renders_and_resumes(tmp_path):
+    out = str(tmp_path / "o.png")
+    ck = str(tmp_path / "ck.npz")
+    r = _run_cli("--scene", "diffuse", "-r", "32x18", "-s", "4",
+                 "--spp-chunk", "2", "-o", out, "--checkpoint", ck,
+                 "--max-depth", "6")
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    img_full = open(out, "rb").read()
+
+    # Resume: same checkpoint, rendering is already complete -> instant.
+    r2 = _run_cli("--scene", "diffuse", "-r", "32x18", "-s", "4",
+                  "-o", out, "--checkpoint", ck, "--max-depth", "6")
+    assert r2.returncode == 0, r2.stderr
+    assert "resumed checkpoint at 4/4" in r2.stderr
+    assert open(out, "rb").read() == img_full
+
+
+def test_cli_bad_resolution():
+    r = _run_cli("--scene", "diffuse", "-r", "banana")
+    assert r.returncode == 2
+    assert "resolution" in r.stderr
+
+
+def test_cli_unknown_scene():
+    r = _run_cli("--scene", "nope", "-r", "8x8", "-s", "1")
+    assert r.returncode == 2
+    assert "unknown scene" in r.stderr
