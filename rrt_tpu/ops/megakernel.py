@@ -28,7 +28,7 @@ textures fall back to the XLA path (render._shade).
 
 State layout, f32 (16, Q):
   0-2 o | 3-5 d | 6 time | 7-9 throughput | 10-12 pending radiance
-  | 13 bounce | 14 alive | 15 pad
+  | 13 bounce | 14 alive | 15 per-lane traced-ray count
 Keys: (2, Q) uint32 sample key words.
 
 Sphere pack, f32 (24, S):
@@ -138,13 +138,13 @@ def pack_bg(scene: SceneArrays):
         jnp.zeros((1,), jnp.float32)])
 
 
-def pack_state(o, d, time, thr, pend, bounce, alive):
+def pack_state(o, d, time, thr, pend, bounce, alive, traced):
     """V3 components + scalars -> (16, Q) state matrix."""
-    z = jnp.zeros_like(time)
     return jnp.stack([
         o.x, o.y, o.z, d.x, d.y, d.z, time,
         thr.x, thr.y, thr.z, pend.x, pend.y, pend.z,
-        bounce.astype(jnp.float32), alive.astype(jnp.float32), z], axis=0)
+        bounce.astype(jnp.float32), alive.astype(jnp.float32),
+        traced], axis=0)
 
 
 def unpack_state(st):
@@ -156,7 +156,8 @@ def unpack_state(st):
     pend = V3(st[10], st[11], st[12])
     bounce = st[13].astype(jnp.int32)
     alive = st[14] > 0.5
-    return o, d, time, thr, pend, bounce, alive
+    traced = st[15]
+    return o, d, time, thr, pend, bounce, alive, traced
 
 
 # ---------------------------------------------------------------------------
@@ -167,7 +168,9 @@ def unpack_state(st):
 def _draws(k0, k1, bounce_f):
     """In-kernel scatter draws, identical addressing to
     rng.scatter_draws. Returns (unit xyz, in-sphere xyz, choice)."""
-    counter = (bounce_f.astype(jnp.uint32) * jnp.uint32(rng._NUM_STREAMS)
+    # Mosaic has no f32->u32 cast; go through i32.
+    counter = (bounce_f.astype(jnp.int32).astype(jnp.uint32)
+               * jnp.uint32(rng._NUM_STREAMS)
                + jnp.uint32(rng.STREAM_SCATTER))
     us = []
     for pair in range(4):
@@ -182,7 +185,7 @@ def _draws(k0, k1, bounce_f):
     inv = jax.lax.rsqrt(jnp.maximum(g0 * g0 + g1 * g1 + g2 * g2, 1e-20))
     ux, uy, uz = g0 * inv, g1 * inv, g2 * inv
     inv2 = jax.lax.rsqrt(jnp.maximum(g3 * g3 + g4 * g4 + g5 * g5, 1e-20))
-    rad = jnp.cbrt(us[6])
+    rad = rng._cbrt01(us[6])
     sx, sy, sz = g3 * inv2 * rad, g4 * inv2 * rad, g5 * inv2 * rad
     return ux, uy, uz, sx, sy, sz, us[7]
 
@@ -204,17 +207,19 @@ def _select_winner(blk, t_cand, t_best, attrs_best):
         precision=jax.lax.Precision.HIGHEST)  # (24,TN)
     better = tile_min < t_best
     t_best = jnp.where(better, tile_min, t_best)
-    attrs_best = jnp.where(better, sel, attrs_best)
+    # Float-mask blend: broadcasting an i1 mask across sublanes trips a
+    # Mosaic i8->i1 truncation bug; arithmetic select avoids it.
+    bf = better.astype(jnp.float32)
+    attrs_best = bf * sel + (1.0 - bf) * attrs_best
     return t_best, attrs_best
 
 
 def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
-                       state_out_ref, traced_ref, *, k_steps, s_tiles,
+                       state_out_ref, *, k_steps, s_tiles,
                        q_tiles, moving, has_quads, t_min, max_depth):
     st = state_ref[:, :]  # (16, TN)
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
-    traced = jnp.zeros((1, 1), jnp.float32)
 
     ox, oy, oz = st[0:1], st[1:2], st[2:3]
     dx, dy, dz = st[3:4], st[4:5], st[5:6]
@@ -223,6 +228,7 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
     pex, pey, pez = st[10:11], st[11:12], st[12:13]
     bounce = st[13:14]
     alive = st[14:15] > 0.5
+    traced = st[15:16]
 
     for _step in range(k_steps):
         a = dx * dx + dy * dy + dz * dz
@@ -447,7 +453,10 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
         pez = pez + thz * (bgb * missf + albb * lightf)
 
         # --- survival + state update ------------------------------------
-        scattered = jnp.where(is_met, met_ok, is_lam | is_die | is_iso)
+        # No jnp.where on bools: Mosaic lowers bool selects via i8 and
+        # trips an i8->i1 truncation; pure logic ops stay in i1.
+        scattered = (is_met & met_ok) | ((~is_met)
+                                         & (is_lam | is_die | is_iso))
         survives = hit & scattered & (bounce < max_depth)
         ox = jnp.where(survives, px_, ox)
         oy = jnp.where(survives, py_, oy)
@@ -459,15 +468,13 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
         thy = jnp.where(survives, thy * atg, thy)
         thz = jnp.where(survives, thz * atb, thz)
         bounce = bounce + survives.astype(jnp.float32)
-        traced = traced + jnp.sum(alive.astype(jnp.float32))
+        traced = traced + alive.astype(jnp.float32)
         alive = survives
 
     out = jnp.concatenate([
         ox, oy, oz, dx, dy, dz, time, thx, thy, thz, pex, pey, pez,
-        bounce, alive.astype(jnp.float32),
-        jnp.zeros((1, TN), jnp.float32)], axis=0)
+        bounce, alive.astype(jnp.float32), traced], axis=0)
     state_out_ref[:, :] = out
-    traced_ref[0:1, 0:1] = traced
 
 
 @functools.partial(
@@ -481,7 +488,8 @@ def bounce_steps(state, keys, spheres24, quads24, bg8, *, k_steps: int,
 
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
     quads24 (24, Qd) (dummy (24, TS) zeros when has_quads is False);
-    bg8 (8,) f32 from pack_bg. Returns (state', n_traced)."""
+    bg8 (8,) f32 from pack_bg. Returns state' (row 15 carries the
+    cumulative per-lane traced-ray counts)."""
     q = state.shape[1]
     s_count = spheres24.shape[1]
     q_count = quads24.shape[1]
@@ -492,7 +500,7 @@ def bounce_steps(state, keys, spheres24, quads24, bg8, *, k_steps: int,
         q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
         t_min=t_min, max_depth=float(max_depth))
 
-    state_out, traced = pl.pallas_call(
+    state_out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
@@ -506,20 +514,13 @@ def bounce_steps(state, keys, spheres24, quads24, bg8, *, k_steps: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((16, TN), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((16, q), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_tiles), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((16, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, q), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=k_steps * 40 * q * (s_count + q_count),
             bytes_accessed=4 * (2 * 16 * q + 2 * q
                                 + 24 * (s_count + q_count)),
             transcendentals=k_steps * q * 40),
     )(state, keys, spheres24, quads24, bg8)
-    return state_out, jnp.sum(traced)
+    return state_out

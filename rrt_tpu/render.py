@@ -267,7 +267,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         pend = pend + thr * contribution
         thr = V3.where(survives, thr * attenuation, thr)
         bounce = bounce + survives.astype(jnp.int32)
-        n_traced = n_traced + jnp.sum(alive.astype(jnp.float32))
+        n_traced = n_traced + alive.astype(jnp.float32)
         return (new_o, new_d, tm, thr, pend, pix, keys, bounce, survives,
                 next_s, acc, n_traced)
 
@@ -276,14 +276,16 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         if use_mk:
             (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
              n_traced) = state
-            st = ops_mega.pack_state(o, d, tm, thr, pend, bounce, alive)
-            st2, nt = ops_mega.bounce_steps(
+            st = ops_mega.pack_state(o, d, tm, thr, pend, bounce, alive,
+                                     n_traced)
+            st2 = ops_mega.bounce_steps(
                 st, keys, sph24, quad24, bg8, k_steps=k_steps,
                 moving=scene.has_moving, has_quads=scene.has_quads,
                 max_depth=cfg.max_depth, t_min=cfg.t_min)
-            o, d, tm, thr, pend, bounce, alive = ops_mega.unpack_state(st2)
+            (o, d, tm, thr, pend, bounce, alive,
+             n_traced) = ops_mega.unpack_state(st2)
             return (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s,
-                    acc, n_traced + nt)
+                    acc, n_traced)
         return jax.lax.fori_loop(0, k_steps, bounce_step, state)
 
     def cond(state):
@@ -302,7 +304,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
               jnp.zeros((q,), bool),  # alive
               jnp.zeros((), jnp.int32),  # next sample cursor
               V3.zeros((p_count,)),  # pixel accumulator
-              jnp.zeros((), jnp.float32))  # rays traced (metric)
+              jnp.zeros((q,), jnp.float32))  # per-lane traced rays
 
     state = jax.lax.while_loop(cond, outer, state0)
     (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
@@ -313,7 +315,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
              acc.y.at[pix].add(pend.y, mode="drop"),
              acc.z.at[pix].add(pend.z, mode="drop"))
     radiance = jnp.stack([acc.x, acc.y, acc.z], axis=-1)
-    return radiance, n_traced
+    return radiance, jnp.sum(n_traced)
 
 
 # ---------------------------------------------------------------------------

@@ -124,9 +124,13 @@ def _words(keys, counter, n_words: int):
 
 
 def _to_uniform(bits):
-    """uint32 -> float32 in [0, 1) using the top 24 bits."""
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
-        1.0 / (1 << 24))
+    """uint32 -> float32 in [0, 1) using the top 24 bits.
+
+    The u32 value goes through i32 before the float cast (bit-identical
+    for values < 2^24): Mosaic has no direct u32->f32 conversion, and this
+    keeps the kernel and XLA paths on the same draw values."""
+    return (bits >> jnp.uint32(8)).astype(jnp.int32).astype(
+        jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def _counter(bounce, stream: int):
@@ -136,6 +140,12 @@ def _counter(bounce, stream: int):
 def uniform_words(keys, bounce, stream: int, n: int):
     """(n, N) float32 uniforms in [0,1) for one (bounce, stream)."""
     return _to_uniform(_words(keys, _counter(bounce, stream), n))
+
+
+def _cbrt01(u):
+    """cbrt for u in [0,1) via exp(log/3) — Mosaic has no cbrt primitive;
+    both the XLA and kernel paths share this form so draws stay equal."""
+    return jnp.exp(jnp.log(jnp.maximum(u, 1e-12)) * (1.0 / 3.0))
 
 
 def _box_muller(u1, u2):
@@ -167,7 +177,7 @@ def scatter_draws(keys, bounce):
     g4, g5 = _box_muller(u[4], u[5])
     unit = V3(*_normalize3_rows(g0, g1, g2))
     sx, sy, sz = _normalize3_rows(g3, g4, g5)
-    radius = jnp.cbrt(u[6])
+    radius = _cbrt01(u[6])
     sphere = V3(sx * radius, sy * radius, sz * radius)
     return unit, sphere, u[7]
 
