@@ -32,15 +32,18 @@ def main():
 
     width, height, spp = 1200, 800, 8
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=50,
-                       queue_size=131072, bounces_per_refill=4)
+                       queue_size=131072, bounces_per_refill=4,
+                       use_megakernel=True)
     scene, cam = chap12_scene(width, height)
 
     # --- forward: full image through the queue driver -------------------
-    img, n_fwd = render_image_queue(scene, cam, cfg, 0)
-    img.block_until_ready()  # compile
+    for _ in range(2):  # warm: compile + first dispatch, hard-synced
+        img, n_fwd = render_image_queue(scene, cam, cfg, 0)
+        _ = float(img[0, 0, 0])
     t0 = time.time()
     img, n_fwd = render_image_queue(scene, cam, cfg, 0)
-    img.block_until_ready()
+    _ = float(img[0, 0, 0])  # hard sync (block_until_ready can be lazy
+    # through the tunnel runtime)
     fwd_s = time.time() - t0
     fwd_rays = float(n_fwd)
 
@@ -48,7 +51,7 @@ def main():
     from rrt_tpu.diff import partition, combine
 
     n_tile = 16384
-    ids = jnp.arange(n_tile, dtype=jnp.int32)
+    ids = jnp.arange(n_tile, dtype=jnp.int32) * (width * height // 16384)
     px, py = ids % width, (ids // width) % height
     gid = (py * width + px).astype(jnp.uint32)
     keys = rng.sample_keys(jax.random.key(0), gid, 0)

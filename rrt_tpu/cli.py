@@ -53,6 +53,8 @@ def build_parser():
     p.add_argument("--driver", choices=("queue", "batch"), default="queue")
     p.add_argument("--pallas", action="store_true",
                    help="use fused Pallas intersection kernels (TPU)")
+    p.add_argument("--no-megakernel", action="store_true",
+                   help="disable the fused bounce-step megakernel")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--checkpoint", default=None,
@@ -103,6 +105,7 @@ def main(argv=None):
         width=width, height=height, spp=spp, max_depth=args.max_depth,
         queue_size=min(args.queue_size, width * height * spp),
         use_pallas=args.pallas,
+        use_megakernel=not args.no_megakernel,
         samples_per_pass=min(4, spp), tile_pixels=16384)
 
     # One jit for all progressive chunks: sample bounds are dynamic args.

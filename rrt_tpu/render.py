@@ -215,7 +215,8 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
     total = p_count * (sample_hi - sample_lo)
     k_steps = max(1, cfg.bounces_per_refill)
     packed = pack_scene(scene) if cfg.use_pallas else None
-    use_mk = cfg.use_megakernel and ops_mega.supports(scene)
+    use_mk = (cfg.use_megakernel and ops_mega.supports(scene)
+              and jax.default_backend() == "tpu")
     if use_mk:
         sph24 = ops_mega.pack_spheres_full(scene)
         quad24 = (ops_mega.pack_quads_full(scene) if scene.has_quads
