@@ -27,8 +27,24 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera import Camera
-from ..render import RenderConfig, render_tile
+from ..render import RenderConfig, render_tile, trace_queue
 from ..scene import SceneArrays
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host process-group bring-up (SURVEY.md §2.3): one call per
+    host before any jax op; afterwards jax.devices() spans the slice and
+    the same Mesh/shard_map code runs unchanged — collectives ride ICI
+    within a slice and DCN across slices, inserted by XLA.
+
+    No-op when the environment provides coordination (TPU pods auto-detect
+    with no arguments)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(devices=None, dp: int | None = None, sp: int | None = None):
@@ -124,5 +140,48 @@ def render_image_sharded(scene: SceneArrays, camera: Camera,
             px, py, scene, camera, seed_key)
 
     rad = rad.reshape(n_tiles * tp, 3)[: cfg.width * cfg.height]
+    image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
+    return image, n_traced
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_image_queue_sharded(scene: SceneArrays, camera: Camera,
+                               cfg: RenderConfig, seed, mesh: Mesh):
+    """Multi-device forward rendering through the compacted-queue driver
+    (the fast path): pixel rows shard over "dp", the spp range splits over
+    "sp", radiance psums over "sp" on device.
+
+    Per-sample keys are global (pixel, sample)-addressed, so the image
+    equals the single-device queue render up to f32 summation order for
+    any mesh factorization."""
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    if cfg.spp % sp != 0:
+        raise ValueError(f"spp={cfg.spp} must be a multiple of sp={sp}")
+    spp_local = cfg.spp // sp
+
+    seed_key = jax.random.key(seed) if jnp.issubdtype(
+        jnp.asarray(seed).dtype, jnp.integer) else seed
+    n_pix = cfg.width * cfg.height
+    n_pad = -(-n_pix // dp) * dp
+    ids = jnp.minimum(jnp.arange(n_pad, dtype=jnp.int32), n_pix - 1)
+    px = (ids % cfg.width).reshape(dp, n_pad // dp)
+    py = (ids // cfg.width).reshape(dp, n_pad // dp)
+
+    def shard_fn(px_l, py_l, scene, camera, seed_key):
+        sp_rank = jax.lax.axis_index("sp")
+        rad, nt = trace_queue(scene, camera, px_l[0], py_l[0], cfg,
+                              seed_key, sp_rank * spp_local,
+                              sp_rank * spp_local + spp_local)
+        rad = jax.lax.psum(rad, "sp")
+        nt = jax.lax.psum(nt, ("dp", "sp"))
+        return rad[None], nt
+
+    rad, n_traced = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P(), P(), P()),
+        out_specs=(P("dp"), P()), check_vma=False)(
+            px, py, scene, camera, seed_key)
+
+    rad = rad.reshape(n_pad, 3)[:n_pix]
     image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
     return image, n_traced

@@ -71,3 +71,20 @@ def test_gradients_replicated_across_mesh():
         np.testing.assert_allclose(np.asarray(g_single[k]),
                                    np.asarray(g_shard[k]), atol=1e-5,
                                    rtol=1e-4, err_msg=k)
+
+
+def test_sharded_queue_matches_single():
+    """The fast (queue) driver sharded over dp x sp must reproduce the
+    single-device queue image (global per-sample keys)."""
+    from rrt_tpu.parallel.mesh import render_image_queue_sharded
+    from rrt_tpu.render import render_image_queue
+    cfg = rrt_tpu.RenderConfig(width=48, height=27, spp=8, max_depth=8,
+                               queue_size=2048)
+    scene, cam = diffuse_scene(cfg.width, cfg.height)
+    img1, n1 = render_image_queue(scene, cam, cfg, 0)
+    for dp, sp in ((8, 1), (4, 2), (2, 4)):
+        img2, n2 = render_image_queue_sharded(scene, cam, cfg, 0,
+                                              make_mesh(dp=dp, sp=sp))
+        np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                                   atol=1e-5, rtol=1e-5)
+        assert int(n1) == int(n2)
