@@ -204,6 +204,13 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
     (all pixels at sample s, then s+1, ...) so fresh camera rays in a
     refill are spatially coherent.
 
+    State lives in the packed (16, Q) row layout of ops/megakernel.py for
+    both the megakernel and XLA bounce paths, so the refill/flush pass is
+    a handful of fused ops: one cumsum, one threefry, the camera math, a
+    single (16, Q) select, and one batched (3, P) scatter-add — each XLA
+    fusion costs ~1.1 ms of fixed runtime overhead on this TPU runtime, so
+    op count is the budget that matters.
+
     Returns (radiance_sum (P,3) — sum over samples — and n_traced).
     """
     p_count = px.shape[0]
@@ -223,9 +230,12 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
                   else jnp.zeros((24, ops_mega.TS), jnp.float32))
         bg8 = ops_mega.pack_bg(scene)
 
+    ones_q = jnp.ones((q,), jnp.float32)
+    zeros_q = jnp.zeros((q,), jnp.float32)
+
     def flush_refill(state):
-        (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
-         n_traced) = state
+        st, keys, pix, next_s, acc = state
+        alive = st[14] > 0.5
         dead = ~alive
         ranks = jnp.cumsum(dead.astype(jnp.int32)) - 1
         sidx = next_s + ranks
@@ -235,88 +245,71 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         s_new = (sidx_c // p_count).astype(jnp.uint32) + jnp.asarray(
             sample_lo, jnp.uint32)
 
-        # Flush finished samples' pending radiance into the pixel
-        # accumulator (one scatter-add per channel per refill pass).
+        # Flush finished samples' pending radiance (rows 10-12) into the
+        # (3, P) accumulator with one batched scatter-add.
         fmask = issue.astype(jnp.float32)
-        acc = V3(acc.x.at[pix].add(pend.x * fmask, mode="drop"),
-                 acc.y.at[pix].add(pend.y * fmask, mode="drop"),
-                 acc.z.at[pix].add(pend.z * fmask, mode="drop"))
-        pend = V3.where(issue, V3.zeros(pend.x.shape), pend)
+        acc = acc.at[:, pix].add(st[10:13] * fmask[None, :], mode="drop")
 
         new_keys = rng.sample_keys(seed_key, pixel_gid[p_new], s_new)
         o_new, d_new, tm_new = generate_rays(
             camera, px[p_new], py[p_new], cfg.width, cfg.height, new_keys)
 
-        o = V3.where(issue, o_new, o)
-        d = V3.where(issue, d_new, d)
-        tm = jnp.where(issue, tm_new, tm)
-        thr = V3.where(issue, V3.ones(thr.x.shape), thr)
-        pix = jnp.where(issue, p_new, pix)
+        fresh = jnp.stack([
+            o_new.x, o_new.y, o_new.z, d_new.x, d_new.y, d_new.z, tm_new,
+            ones_q, ones_q, ones_q,  # throughput
+            zeros_q, zeros_q, zeros_q,  # pending radiance
+            zeros_q,  # bounce
+            ones_q,  # alive
+            st[15]], axis=0)  # traced count carries over
+        st = jnp.where(issue[None, :], fresh, st)
         keys = jnp.where(issue[None, :], new_keys, keys)
-        bounce = jnp.where(issue, 0, bounce)
-        alive = alive | issue
+        pix = jnp.where(issue, p_new, pix)
         next_s = next_s + jnp.sum(issue.astype(jnp.int32))
-        return (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s,
-                acc, n_traced)
+        return st, keys, pix, next_s, acc
 
     def bounce_step(_, state):
-        (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
-         n_traced) = state
+        st, keys, pix, next_s, acc = state
+        (o, d, tm, thr, pend, bounce, alive,
+         traced) = ops_mega.unpack_state(st)
         contribution, new_o, new_d, attenuation, survives = _shade(
             scene, o, d, tm, keys, bounce, alive, cfg.t_min, cfg.max_depth,
             packed=packed)
         pend = pend + thr * contribution
         thr = V3.where(survives, thr * attenuation, thr)
         bounce = bounce + survives.astype(jnp.int32)
-        n_traced = n_traced + alive.astype(jnp.float32)
-        return (new_o, new_d, tm, thr, pend, pix, keys, bounce, survives,
-                next_s, acc, n_traced)
+        traced = traced + alive.astype(jnp.float32)
+        st = ops_mega.pack_state(new_o, new_d, tm, thr, pend, bounce,
+                                 survives, traced)
+        return st, keys, pix, next_s, acc
 
     def outer(state):
         state = flush_refill(state)
         if use_mk:
-            (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
-             n_traced) = state
-            st = ops_mega.pack_state(o, d, tm, thr, pend, bounce, alive,
-                                     n_traced)
-            st2 = ops_mega.bounce_steps(
+            st, keys, pix, next_s, acc = state
+            st = ops_mega.bounce_steps(
                 st, keys, sph24, quad24, bg8, k_steps=k_steps,
                 moving=scene.has_moving, has_quads=scene.has_quads,
                 max_depth=cfg.max_depth, t_min=cfg.t_min)
-            (o, d, tm, thr, pend, bounce, alive,
-             n_traced) = ops_mega.unpack_state(st2)
-            return (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s,
-                    acc, n_traced)
+            return st, keys, pix, next_s, acc
         return jax.lax.fori_loop(0, k_steps, bounce_step, state)
 
     def cond(state):
-        alive, next_s = state[8], state[9]
-        return (next_s < total) | jnp.any(alive)
+        st, _, _, next_s, _ = state
+        return (next_s < total) | jnp.any(st[14] > 0.5)
 
     dummy_keys = rng.sample_keys(seed_key, jnp.zeros((q,), jnp.uint32), 0)
-    state0 = (V3.zeros((q,)),  # o
-              V3.ones((q,)),  # d (non-degenerate)
-              jnp.zeros((q,), jnp.float32),  # time
-              V3.ones((q,)),  # throughput
-              V3.zeros((q,)),  # pending radiance (lane space)
+    st0 = jnp.zeros((16, q), jnp.float32)
+    st0 = st0.at[3:6].set(1.0)  # non-degenerate direction
+    state0 = (st0, dummy_keys,
               jnp.zeros((q,), jnp.int32),  # pixel index in tile
-              dummy_keys,  # per-lane key words (2,q)
-              jnp.zeros((q,), jnp.int32),  # bounce counter
-              jnp.zeros((q,), bool),  # alive
               jnp.zeros((), jnp.int32),  # next sample cursor
-              V3.zeros((p_count,)),  # pixel accumulator
-              jnp.zeros((q,), jnp.float32))  # per-lane traced rays
+              jnp.zeros((3, p_count), jnp.float32))  # accumulator
 
-    state = jax.lax.while_loop(cond, outer, state0)
-    (o, d, tm, thr, pend, pix, keys, bounce, alive, next_s, acc,
-     n_traced) = state
+    st, keys, pix, next_s, acc = jax.lax.while_loop(cond, outer, state0)
     # Final flush: lanes that finished after the cursor was exhausted were
     # never refilled, so their pending radiance is still lane-resident.
-    acc = V3(acc.x.at[pix].add(pend.x, mode="drop"),
-             acc.y.at[pix].add(pend.y, mode="drop"),
-             acc.z.at[pix].add(pend.z, mode="drop"))
-    radiance = jnp.stack([acc.x, acc.y, acc.z], axis=-1)
-    return radiance, jnp.sum(n_traced)
+    acc = acc.at[:, pix].add(st[10:13], mode="drop")
+    return acc.T, jnp.sum(st[15])
 
 
 # ---------------------------------------------------------------------------
