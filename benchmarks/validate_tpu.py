@@ -9,7 +9,7 @@ from rrt_tpu.render import render_image_queue, RenderConfig
 from rrt_tpu.scenes import SCENES
 
 W, H, SPP = 200, 150, 8
-for name in ("cornell", "book2chap2", "simple_light"):
+for name in ("cornell_smoke",):
     scene, cam = SCENES[name](W, H)
     cfg_m = RenderConfig(width=W, height=H, spp=SPP, max_depth=20,
                          queue_size=32768, use_megakernel=True)

@@ -63,7 +63,8 @@ def _round_up(x, m):
 
 
 def supports(scene: SceneArrays) -> bool:
-    return not (scene.has_media or scene.has_perlin or scene.has_images)
+    """Media are supported in-kernel; perlin/image textures fall back."""
+    return not (scene.has_perlin or scene.has_images)
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +129,28 @@ def pack_quads_full(scene: SceneArrays):
     if target != nq:
         mat = jnp.pad(mat, ((0, 0), (0, target - nq)))
     return mat
+
+
+def pack_media(scene: SceneArrays):
+    """(D, 24) f32 SMEM table, one row per medium slot:
+    0 btype | 1-3 center | 4 radius | 5-7 half | 8-16 rot (row major,
+    world-from-box) | 17 neg_inv_density | 18 valid | 19-21 isotropic
+    albedo | 22 mat_type | 23 pad. Read scalar-wise in the kernel (media
+    are few)."""
+    d = scene.med_radius.shape[0]
+    alb = scene.tex_color1[scene.mat_tex[scene.med_mat]]
+    rows = jnp.concatenate([
+        scene.med_btype.astype(jnp.float32)[:, None],
+        scene.med_center,
+        scene.med_radius[:, None],
+        scene.med_half,
+        scene.med_rot.reshape(d, 9),
+        scene.med_neg_inv_density[:, None],
+        scene.med_valid.astype(jnp.float32)[:, None],
+        alb,
+        scene.mat_type[scene.med_mat].astype(jnp.float32)[:, None],
+        jnp.zeros((d, 1), jnp.float32)], axis=1)
+    return rows
 
 
 def pack_bg(scene: SceneArrays):
@@ -214,9 +237,10 @@ def _select_winner(blk, t_cand, t_best, attrs_best):
     return t_best, attrs_best
 
 
-def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
-                       state_out_ref, *, k_steps, s_tiles,
-                       q_tiles, moving, has_quads, t_min, max_depth):
+def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
+                       bg_ref, state_out_ref, *, k_steps, s_tiles,
+                       q_tiles, moving, has_quads, n_media, t_min,
+                       max_depth):
     st = state_ref[:, :]  # (16, TN)
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
@@ -310,6 +334,88 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
             use_q = jnp.zeros((1, TN), bool)
             t_hit = t_s
 
+        # --- constant media (RTTNW ch. 9; scalar loop over few media) ---
+        if n_media > 0:
+            cm = (bounce.astype(jnp.int32).astype(jnp.uint32)
+                  * jnp.uint32(rng._NUM_STREAMS)
+                  + jnp.uint32(rng.STREAM_MEDIUM))
+            med_u = []
+            for pair in range((n_media + 1) // 2):
+                a_w, b_w = rng.threefry2x32(
+                    k0, k1, cm,
+                    jnp.uint32(pair) * jnp.uint32(0x9E3779B9)
+                    + jnp.uint32(pair))
+                med_u.append(rng._to_uniform(a_w))
+                med_u.append(rng._to_uniform(b_w))
+            t_med = jnp.full((1, TN), INF, jnp.float32)
+            m_alb = [jnp.zeros((1, TN), jnp.float32) for _ in range(3)]
+            inv_dlen = 1.0 / jnp.maximum(d_len, 1e-20)
+            for mi in range(n_media):
+                valid_m = med_ref[mi, 18]
+                cx = med_ref[mi, 1]
+                cy = med_ref[mi, 2]
+                cz = med_ref[mi, 3]
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                is_sph = med_ref[mi, 0] < 0.5
+                # sphere interval
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                c_coef = (ocx * ocx + ocy * ocy + ocz * ocz
+                          - med_ref[mi, 4] * med_ref[mi, 4])
+                disc = half_b * half_b - a * c_coef
+                sqm = jnp.sqrt(jnp.maximum(disc, 0.0))
+                sph_enter = (-half_b - sqm) * inv_a
+                sph_exit = (-half_b + sqm) * inv_a
+                sph_ok = disc > 0.0
+                # obb interval (rot rows 8-16, world-from-box; use R^T)
+                lo_b = jnp.full((1, TN), -INF, jnp.float32)
+                hi_b = jnp.full((1, TN), INF, jnp.float32)
+                for kk in range(3):
+                    r0c = med_ref[mi, 8 + kk]
+                    r1c = med_ref[mi, 11 + kk]
+                    r2c = med_ref[mi, 14 + kk]
+                    ob = r0c * ocx + r1c * ocy + r2c * ocz
+                    db = r0c * dx + r1c * dy + r2c * dz
+                    hk = med_ref[mi, 5 + kk]
+                    par = jnp.abs(db) <= 1e-12
+                    inv_db = 1.0 / jnp.where(par, 1.0, db)
+                    t1b = (-hk - ob) * inv_db
+                    t2b = (hk - ob) * inv_db
+                    klo = jnp.minimum(t1b, t2b)
+                    khi = jnp.maximum(t1b, t2b)
+                    inside = jnp.abs(ob) <= hk
+                    big = jnp.where(inside, INF, -INF)
+                    klo = jnp.where(par, -big, klo)
+                    khi = jnp.where(par, big, khi)
+                    lo_b = jnp.maximum(lo_b, klo)
+                    hi_b = jnp.minimum(hi_b, khi)
+                obb_ok = lo_b < hi_b
+                t_enter = jnp.where(is_sph, sph_enter, lo_b)
+                t_exit = jnp.where(is_sph, sph_exit, hi_b)
+                okm = ((is_sph & sph_ok) | ((~is_sph) & obb_ok))                     & (valid_m > 0.5)
+                te = jnp.maximum(t_enter, t_min)
+                tx = jnp.minimum(t_exit, t_hit)
+                okm = okm & (te < tx)
+                te = jnp.maximum(te, 0.0)
+                okm = okm & (te < tx)
+                dist_in = (tx - te) * d_len
+                u_m = med_u[mi]
+                hit_dist = med_ref[mi, 17] * jnp.log(
+                    jnp.maximum(u_m, 1e-12))
+                okm = okm & (hit_dist <= dist_in)
+                t_m = te + hit_dist * inv_dlen
+                t_cand_m = jnp.where(okm, t_m, INF)
+                better_m = t_cand_m < t_med
+                t_med = jnp.where(better_m, t_cand_m, t_med)
+                bfm = better_m.astype(jnp.float32)
+                m_alb = [bfm * med_ref[mi, 19 + c] + (1.0 - bfm) * m_alb[c]
+                         for c in range(3)]
+            use_med = t_med < t_hit
+            t_hit = jnp.where(use_med, t_med, t_hit)
+        else:
+            use_med = jnp.zeros((1, TN), bool)
+
         hit = (t_hit < INF) & alive
         miss = alive & ~hit
 
@@ -357,11 +463,17 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
             textype, texscale = s_sel[16:17], s_sel[17:18]
 
         d_dot_out = dx * outx + dy * outy + dz * outz
-        front = d_dot_out < 0.0
+        front = (d_dot_out < 0.0) | use_med  # medium hits: front true
         sgn = jnp.where(front, 1.0, -1.0)
         nx_ = outx * sgn
         ny_ = outy * sgn
         nz_ = outz * sgn
+        if n_media > 0:
+            # Medium "surface": arbitrary (1,0,0) normal, isotropic model.
+            nx_ = jnp.where(use_med, 1.0, nx_)
+            ny_ = jnp.where(use_med, 0.0, ny_)
+            nz_ = jnp.where(use_med, 0.0, nz_)
+            mtype = jnp.where(use_med, float(MAT_ISOTROPIC), mtype)
 
         # --- texture (solid / checker) ----------------------------------
         sines = (jnp.sin(texscale * px_) * jnp.sin(texscale * py_)
@@ -370,6 +482,10 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
         albr = jnp.where(use_c2, c2r, c1r)
         albg = jnp.where(use_c2, c2g, c1g)
         albb = jnp.where(use_c2, c2b, c1b)
+        if n_media > 0:
+            albr = jnp.where(use_med, m_alb[0], albr)
+            albg = jnp.where(use_med, m_alb[1], albg)
+            albb = jnp.where(use_med, m_alb[2], albb)
 
         # --- draws ------------------------------------------------------
         ux, uy_, uz, sx, sy, sz, u_choice = _draws(k0, k1, bounce)
@@ -479,11 +595,11 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, bg_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_steps", "moving", "has_quads", "max_depth",
-                     "t_min"))
-def bounce_steps(state, keys, spheres24, quads24, bg8, *, k_steps: int,
-                 moving: bool, has_quads: bool, max_depth: int,
-                 t_min: float):
+    static_argnames=("k_steps", "moving", "has_quads", "n_media",
+                     "max_depth", "t_min"))
+def bounce_steps(state, keys, spheres24, quads24, med24, bg8, *,
+                 k_steps: int, moving: bool, has_quads: bool,
+                 n_media: int, max_depth: int, t_min: float):
     """Run k_steps fused bounce steps.
 
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
@@ -498,7 +614,7 @@ def bounce_steps(state, keys, spheres24, quads24, bg8, *, k_steps: int,
     kern = functools.partial(
         _bounce_megakernel, k_steps=k_steps, s_tiles=s_count // TS,
         q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
-        t_min=t_min, max_depth=float(max_depth))
+        n_media=n_media, t_min=t_min, max_depth=float(max_depth))
 
     state_out = pl.pallas_call(
         kern,
@@ -513,6 +629,7 @@ def bounce_steps(state, keys, spheres24, quads24, bg8, *, k_steps: int,
             pl.BlockSpec((24, q_count), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((16, TN), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -522,5 +639,5 @@ def bounce_steps(state, keys, spheres24, quads24, bg8, *, k_steps: int,
             bytes_accessed=4 * (2 * 16 * q + 2 * q
                                 + 24 * (s_count + q_count)),
             transcendentals=k_steps * q * 40),
-    )(state, keys, spheres24, quads24, bg8)
+    )(state, keys, spheres24, quads24, med24, bg8)
     return state_out

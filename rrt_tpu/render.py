@@ -228,6 +228,8 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         sph24 = ops_mega.pack_spheres_full(scene)
         quad24 = (ops_mega.pack_quads_full(scene) if scene.has_quads
                   else jnp.zeros((24, ops_mega.TS), jnp.float32))
+        med24 = ops_mega.pack_media(scene)
+        n_media_mk = scene.n_media if scene.has_media else 0
         bg8 = ops_mega.pack_bg(scene)
 
     ones_q = jnp.ones((q,), jnp.float32)
@@ -287,9 +289,10 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         if use_mk:
             st, keys, pix, next_s, acc = state
             st = ops_mega.bounce_steps(
-                st, keys, sph24, quad24, bg8, k_steps=k_steps,
+                st, keys, sph24, quad24, med24, bg8, k_steps=k_steps,
                 moving=scene.has_moving, has_quads=scene.has_quads,
-                max_depth=cfg.max_depth, t_min=cfg.t_min)
+                n_media=n_media_mk, max_depth=cfg.max_depth,
+                t_min=cfg.t_min)
             return st, keys, pix, next_s, acc
         return jax.lax.fori_loop(0, k_steps, bounce_step, state)
 
