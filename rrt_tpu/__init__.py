@@ -11,7 +11,9 @@ from .camera import Camera, generate_rays
 from .geometry import Hit, intersect_all, make_hit
 from .materials import Scatter, scatter
 from .render import (RenderConfig, background_color, render_image,
-                     render_tile, tonemap, trace_batch)
+                     render_image_queue, render_tile, tonemap, trace_batch,
+                     trace_queue)
 from .scene import SceneArrays, SceneBuilder
+from .vec import V3
 
 __version__ = "0.1.0"
