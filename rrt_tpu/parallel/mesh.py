@@ -13,7 +13,14 @@ Mesh axes (SURVEY.md §2.2 mapping):
 
 The bounce chain itself is deliberately chip-local (the sequence-parallel
 non-decision, SURVEY.md §5.7): bounces are cheap and sequential, so scaling
-rides the enormous (tiles x samples) batch axes instead.
+rides the enormous (tiles x samples) batch axes instead. Two more
+conscious non-decisions from the strategy inventory (SURVEY.md §2.2):
+pipeline parallelism (staging bounce k of tile i against bounce k-1 of
+tile i+1) buys nothing when there are no weights to partition and every
+stage runs the same kernel; and expert parallelism (materials-as-experts
+with cross-chip dispatch) degenerates for five material models into the
+branchless compute-all-and-select inside the scatter kernel
+(rrt_tpu.materials / ops.megakernel), with zero communication.
 
 Determinism: tile/pass random keys are global ids, so the rendered image is
 a pure function of (seed, tile grid, spp) — identical across any dp x sp

@@ -143,3 +143,14 @@ def test_optimization_recovers_albedo():
             jnp.clip(new, 0.0, 1.0))
     got = np.asarray(params["tex_color1"][0])
     np.testing.assert_allclose(got, [0.6, 0.3, 0.2], atol=0.05)
+
+
+def test_grad_quad_geometry():
+    """Quad vertex gradients (full-frame parallelogram, lambertian)."""
+    b = SceneBuilder()
+    b.quad((-3.0, -3.0, -2.0), (6.0, 0.0, 0.0), (0.0, 6.0, 0.0),
+           b.lambertian((0.5, 0.4, 0.3)))
+    scene = b.build()
+    cam = Camera.create(look_from=(0.0, 0.0, 1.0), look_at=(0.0, 0.0, -1.0),
+                        fov_deg=30.0, aspect=CFG.width / CFG.height)
+    _fd_check(scene, cam, "quad_q", (0, 2), eps=1e-3)

@@ -46,3 +46,17 @@ def test_queue_media_scene():
     img_q, _ = render_image_queue(scene, cam, cfg, 0)
     np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_q),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_no_tracer_leaks():
+    """SURVEY.md §5.2: the reference needed (and lacked) a race detector
+    for its unsafe thread-local RNG; here shared mutable state doesn't
+    exist, and this guard checks the render graph for leaked tracers —
+    the closest JAX hazard class."""
+    import jax
+    cfg = _cfg(width=16, height=9, spp=2, queue_size=512, tile_pixels=144,
+               samples_per_pass=2)
+    scene, cam = diffuse_scene(cfg.width, cfg.height)
+    with jax.check_tracer_leaks():
+        img, _ = rrt_tpu.render_image(scene, cam, cfg, 1)
+        img.block_until_ready()
