@@ -245,6 +245,26 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
 
+    # Whole-tile early-out: lanes cluster by issue order, so tail outers
+    # carry fully-dead ray tiles — skip all K steps and write through.
+    tile_alive = jnp.any(st[14:15] > 0.5)
+
+    @pl.when(jnp.logical_not(tile_alive))
+    def _():
+        state_out_ref[:, :] = st
+
+    @pl.when(tile_alive)
+    def _():
+        _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, bg_ref,
+                          state_out_ref, k_steps=k_steps, s_tiles=s_tiles,
+                          q_tiles=q_tiles, moving=moving,
+                          has_quads=has_quads, n_media=n_media,
+                          t_min=t_min, max_depth=max_depth)
+
+
+def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, bg_ref,
+                      state_out_ref, *, k_steps, s_tiles, q_tiles, moving,
+                      has_quads, n_media, t_min, max_depth):
     ox, oy, oz = st[0:1], st[1:2], st[2:3]
     dx, dy, dz = st[3:4], st[4:5], st[5:6]
     time = st[6:7]
