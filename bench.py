@@ -50,8 +50,8 @@ def main():
     # --- backward: grad of an MSE loss through the scan path ------------
     from rrt_tpu.diff import partition, combine
 
-    n_tile = 262144
-    ids = jnp.arange(n_tile, dtype=jnp.int32) % (width * height)
+    n_tile = 65536
+    ids = jnp.arange(n_tile, dtype=jnp.int32) * (width * height // 65536)
     px, py = ids % width, (ids // width) % height
     gid = (py * width + px).astype(jnp.uint32)
     keys = rng.sample_keys(jax.random.key(0), gid, 0)

@@ -9,7 +9,7 @@ from rrt_tpu.scenes import chap12_scene
 scene, cam = chap12_scene(1200, 800)
 for K in (4,):
     cfg = RenderConfig(width=1200, height=800, spp=8, max_depth=50,
-                       queue_size=262144, bounces_per_refill=K,
+                       queue_size=131072, bounces_per_refill=K,
                        use_megakernel=True)
     t0=time.time()
     img, n = render_image_queue(scene, cam, cfg, 0)
