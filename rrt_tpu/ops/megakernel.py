@@ -255,14 +255,14 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
 
     @pl.when(tile_alive)
     def _():
-        _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, bg_ref,
+        _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
                           state_out_ref, k_steps=k_steps, s_tiles=s_tiles,
                           q_tiles=q_tiles, moving=moving,
                           has_quads=has_quads, n_media=n_media,
                           t_min=t_min, max_depth=max_depth)
 
 
-def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, bg_ref,
+def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
                       state_out_ref, *, k_steps, s_tiles, q_tiles, moving,
                       has_quads, n_media, t_min, max_depth):
     ox, oy, oz = st[0:1], st[1:2], st[2:3]

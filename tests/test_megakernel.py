@@ -1,0 +1,108 @@
+"""Megakernel regression tests (interpret mode on CPU).
+
+One fused bounce step must agree with the XLA `_shade` step on every
+kernel-supported scene family. Lanes whose f32 quadratic cancels
+catastrophically may flip near-tie winners (both paths are equally valid
+there), so agreement is fraction-based for state and exact for banked
+radiance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import rrt_tpu.ops.megakernel as mk
+from rrt_tpu import rng
+from rrt_tpu.camera import generate_rays
+from rrt_tpu.render import _shade
+from rrt_tpu.scenes import (book2chap2_scene, chap12_scene,
+                            cornell_box_scene, cornell_smoke_scene)
+from rrt_tpu.vec import V3
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mk.pl, "pallas_call", interp)
+
+
+def _one_step(scene, cam, w, h, n=1024):
+    ids = jnp.arange(n, dtype=jnp.int32)
+    px, py = ids % w, (ids // w) % h
+    keys = rng.sample_keys(jax.random.key(0),
+                           (py * w + px).astype(jnp.uint32), 0)
+    o, d, tm = generate_rays(cam, px, py, w, h, keys)
+    alive = jnp.ones((n,), bool)
+    bounce = jnp.zeros((n,), jnp.int32)
+
+    contrib, no, nd, att, sv = _shade(scene, o, d, tm, keys, bounce,
+                                      alive, 1e-3, 50, packed=None)
+
+    st = mk.pack_state(o, d, tm, V3.ones((n,)), V3.zeros((n,)), bounce,
+                       alive, jnp.zeros((n,)))
+    quad24 = (mk.pack_quads_full(scene) if scene.has_quads
+              else jnp.zeros((24, mk.TS), jnp.float32))
+    st2 = mk.bounce_steps(
+        st, keys, mk.pack_spheres_full(scene), quad24,
+        mk.pack_media(scene), mk.pack_bg(scene), k_steps=1,
+        moving=scene.has_moving, has_quads=scene.has_quads,
+        n_media=scene.n_media if scene.has_media else 0, max_depth=50,
+        t_min=1e-3)
+    o2, d2, _, thr2, pend2, bounce2, alive2, traced = mk.unpack_state(st2)
+
+    assert float(traced.sum()) == n
+    # Survival decisions agree everywhere except possible near-tie flips.
+    assert float((np.asarray(alive2) == np.asarray(sv)).mean()) > 0.99
+    # Banked radiance (miss background + emission) matches exactly on
+    # agreeing lanes.
+    agree = np.asarray(alive2) == np.asarray(sv)
+    for got, exp in ((pend2.x, contrib.x), (pend2.y, contrib.y),
+                     (pend2.z, contrib.z)):
+        diff = np.abs(np.asarray(got) - np.asarray(exp))[agree]
+        assert diff.max() < 1e-4
+    # New origins agree on >90% of lanes (rest are f32-cancellation
+    # winner flips, both self-consistent).
+    exp_o = V3.where(sv, no, o)
+    close = np.abs(np.asarray(o2.x - exp_o.x)) < 1e-3
+    assert close.mean() > 0.9
+
+
+def test_megakernel_chap12():
+    scene, cam = chap12_scene(32, 18)
+    _one_step(scene, cam, 32, 18)
+
+
+def test_megakernel_cornell():
+    scene, cam = cornell_box_scene(32, 32)
+    _one_step(scene, cam, 32, 32)
+
+
+def test_megakernel_moving():
+    scene, cam = book2chap2_scene(32, 18)
+    _one_step(scene, cam, 32, 18)
+
+
+def test_megakernel_media():
+    scene, cam = cornell_smoke_scene(32, 32)
+    _one_step(scene, cam, 32, 32)
+
+
+def test_megakernel_dead_tile_passthrough():
+    scene, cam = chap12_scene(16, 9)
+    n = mk.TN
+    st = jnp.zeros((16, n), jnp.float32).at[3:6].set(1.0)
+    st = st.at[15].set(7.0)  # traced counts must survive
+    keys = rng.sample_keys(jax.random.key(0),
+                           jnp.zeros((n,), jnp.uint32), 0)
+    st2 = mk.bounce_steps(
+        st, keys, mk.pack_spheres_full(scene),
+        jnp.zeros((24, mk.TS), jnp.float32), mk.pack_media(scene),
+        mk.pack_bg(scene), k_steps=2, moving=False, has_quads=False,
+        n_media=0, max_depth=50, t_min=1e-3)
+    np.testing.assert_array_equal(np.asarray(st2), np.asarray(st))
