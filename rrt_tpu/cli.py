@@ -109,14 +109,36 @@ def main(argv=None):
         samples_per_pass=min(4, spp), tile_pixels=16384)
 
     # One jit for all progressive chunks: sample bounds are dynamic args.
-    trace_chunk = jax.jit(
-        lambda sc, cm, x, y, k, lo, hi: trace_queue(sc, cm, x, y, cfg, k,
-                                                    lo, hi))
+    if args.driver == "queue":
+        trace_chunk = jax.jit(
+            lambda sc, cm, x, y, k, lo, hi: trace_queue(sc, cm, x, y, cfg,
+                                                        k, lo, hi))
+    else:
+        # Batch driver (parity/debug path): internally tiled by
+        # render_image; progressive chunking is a queue-driver feature.
+        from rrt_tpu.render import render_image
+
+        def _batch_chunk(sc, cm, x, y, k, lo, hi):
+            img, nt = render_image(sc, cm, cfg, k)
+            return img.reshape(-1, 3) * jnp.float32(cfg.spp), nt
+
+        import jax.numpy as jnp
+        trace_chunk = jax.jit(_batch_chunk, static_argnums=(5, 6))
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
     chunk = args.spp_chunk if args.spp_chunk > 0 else spp
+    if args.driver == "batch":
+        spc = cfg.samples_per_pass
+        if spp % spc:
+            print("batch driver requires spp to be a multiple of "
+                  f"samples_per_pass={spc}", file=sys.stderr)
+            return 2
+        if chunk != spp:
+            log("note: --spp-chunk is a queue-driver feature; batch "
+                "driver renders all samples in one pass")
+            chunk = spp
     n_pix = width * height
     ids = np.arange(n_pix, dtype=np.int32)
     px = jax.numpy.asarray(ids % width)
