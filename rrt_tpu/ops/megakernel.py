@@ -54,7 +54,7 @@ from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
 
 INF = 3.0e38
 
-TN = 512  # rays per tile
+TN = 1024  # rays per tile
 TS = 256  # primitives per tile
 
 
