@@ -90,3 +90,15 @@ def test_cornell_smoke_matches_golden():
 def test_rttnw_final_matches_golden():
     scene, cam = rttnw_final_scene(32, 18)
     _compare(scene, cam, n_rays=48)
+
+
+def test_earth_image_texture_matches_golden():
+    from rrt_tpu.scenes import earth_scene
+    scene, cam = earth_scene(32, 18)
+    _compare(scene, cam)
+
+
+def test_checker_ground_matches_golden():
+    from rrt_tpu.scenes import book2chap2_scene
+    scene, cam = book2chap2_scene(32, 18, checker=True)
+    _compare(scene, cam)

@@ -68,3 +68,10 @@ def test_native_matches_device():
     assert float(np.mean(close)) >= 0.9, (
         f"native golden disagrees with device renderer: "
         f"{np.mean(close):.2%} match")
+
+
+def test_native_matches_python_earth():
+    """Image-texture path through the C++ golden."""
+    from rrt_tpu.scenes import earth_scene
+    scene, cam = earth_scene(32, 18)
+    _native_vs_python(scene, cam)
