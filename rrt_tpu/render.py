@@ -250,7 +250,9 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         # Flush finished samples' pending radiance (rows 10-12) into the
         # (3, P) accumulator with one batched scatter-add.
         fmask = issue.astype(jnp.float32)
-        acc = acc.at[:, pix].add(st[10:13] * fmask[None, :], mode="drop")
+        acc = V3(acc.x.at[pix].add(st[10] * fmask, mode="drop"),
+                 acc.y.at[pix].add(st[11] * fmask, mode="drop"),
+                 acc.z.at[pix].add(st[12] * fmask, mode="drop"))
 
         new_keys = rng.sample_keys(seed_key, pixel_gid[p_new], s_new)
         o_new, d_new, tm_new = generate_rays(
@@ -306,13 +308,15 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
     state0 = (st0, dummy_keys,
               jnp.zeros((q,), jnp.int32),  # pixel index in tile
               jnp.zeros((), jnp.int32),  # next sample cursor
-              jnp.zeros((3, p_count), jnp.float32))  # accumulator
+              V3.zeros((p_count,)))  # accumulator
 
     st, keys, pix, next_s, acc = jax.lax.while_loop(cond, outer, state0)
     # Final flush: lanes that finished after the cursor was exhausted were
     # never refilled, so their pending radiance is still lane-resident.
-    acc = acc.at[:, pix].add(st[10:13], mode="drop")
-    return acc.T, jnp.sum(st[15])
+    acc = V3(acc.x.at[pix].add(st[10], mode="drop"),
+             acc.y.at[pix].add(st[11], mode="drop"),
+             acc.z.at[pix].add(st[12], mode="drop"))
+    return jnp.stack([acc.x, acc.y, acc.z], axis=-1), jnp.sum(st[15])
 
 
 # ---------------------------------------------------------------------------
