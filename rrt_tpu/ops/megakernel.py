@@ -54,7 +54,7 @@ from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
 
 INF = 3.0e38
 
-TN = 1024  # rays per tile
+TN = 512  # rays per tile (1024 OOMs VMEM for quad-heavy scenes)
 TS = 256  # primitives per tile
 
 
@@ -661,3 +661,251 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8, *,
             transcendentals=k_steps * q * 40),
     )(state, keys, spheres24, quads24, med24, bg8)
     return state_out
+
+
+# ---------------------------------------------------------------------------
+# Lean intersect-only kernel (for scenes the full megakernel can't shade:
+# perlin/image textures). One launch replaces the XLA (N,S) intersect; the
+# winner's (t, family, index) goes back to the XLA make_hit/scatter path,
+# which keeps the full texture machinery.
+# ---------------------------------------------------------------------------
+
+
+def _intersect_kernel(rays_ref, keys_ref, sph_ref, quad_ref, med_ref,
+                      out_ref, *, s_tiles, q_tiles, moving, has_quads,
+                      n_media, t_min):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    time = rays_ref[6:7, :]
+    bounce = rays_ref[7:8, :]
+    k0 = keys_ref[0:1, :]
+    k1 = keys_ref[1:2, :]
+
+    a = dx * dx + dy * dy + dz * dz
+    o_dot_d = ox * dx + oy * dy + oz * dz
+    o_dot_o = ox * ox + oy * oy + oz * oz
+    inv_a = 1.0 / a
+    d_len = jnp.sqrt(a)
+
+    # fori_loop (not python unroll): Mosaic keeps every unrolled
+    # iteration's temporaries on the scoped VMEM stack, which overflows
+    # for scenes with many primitive tiles.
+    def sphere_tile(si, carry):
+        t_s, i_s = carry
+        off = pl.multiple_of(si * TS, TS)
+        blk = sph_ref[:, pl.ds(off, TS)]
+        bx = blk[0:1].T
+        by = blk[1:2].T
+        bz = blk[2:3].T
+        r2 = blk[3:4].T
+        valid = blk[7:8].T > 0.5
+        if moving:
+            cxt = bx + time * blk[4:5].T
+            cyt = by + time * blk[5:6].T
+            czt = bz + time * blk[6:7].T
+        else:
+            cxt, cyt, czt = bx, by, bz
+        d_c = dx * cxt + dy * cyt + dz * czt
+        o_c = ox * cxt + oy * cyt + oz * czt
+        c_sq = cxt * cxt + cyt * cyt + czt * czt
+        half_b = o_dot_d - d_c
+        c_coef = o_dot_o - 2.0 * o_c + c_sq - r2
+        disc = half_b * half_b - a * c_coef
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root0 = (-half_b - sq) * inv_a
+        root1 = (-half_b + sq) * inv_a
+        ok = (disc > 0.0) & valid
+        in0 = ok & (root0 > t_min) & (root0 < t_s)
+        in1 = ok & (root1 > t_min) & (root1 < t_s)
+        t_cand = jnp.where(in0, root0, jnp.where(in1, root1, INF))
+        tile_min = jnp.min(t_cand, axis=0, keepdims=True)
+        win = jnp.argmin(t_cand, axis=0).astype(jnp.float32)[None, :]
+        better = tile_min < t_s
+        t_s = jnp.where(better, tile_min, t_s)
+        i_s = jnp.where(better, win + si.astype(jnp.float32) * TS, i_s)
+        return t_s, i_s
+
+    t_s, i_s = jax.lax.fori_loop(
+        0, s_tiles, sphere_tile,
+        (jnp.full((1, TN), INF, jnp.float32),
+         jnp.zeros((1, TN), jnp.float32)))
+
+    if has_quads:
+        def quad_tile(qi, carry):
+            t_q, i_q = carry
+            off = pl.multiple_of(qi * TS, TS)
+            blk = quad_ref[:, pl.ds(off, TS)]
+            nx = blk[0:1].T
+            ny = blk[1:2].T
+            nz = blk[2:3].T
+            gx = blk[3:4].T
+            gy = blk[4:5].T
+            gz = blk[5:6].T
+            hx = blk[6:7].T
+            hy = blk[7:8].T
+            hz = blk[8:9].T
+            d_plane = blk[9:10].T
+            q_g = blk[10:11].T
+            q_h = blk[11:12].T
+            eps_n = blk[12:13].T
+            valid = blk[13:14].T > 0.5
+            denom = dx * nx + dy * ny + dz * nz
+            o_n = ox * nx + oy * ny + oz * nz
+            not_par = jnp.abs(denom) > eps_n * d_len
+            t = (d_plane - o_n) / jnp.where(not_par, denom, 1.0)
+            o_g = ox * gx + oy * gy + oz * gz
+            d_g = dx * gx + dy * gy + dz * gz
+            o_h = ox * hx + oy * hy + oz * hz
+            d_h = dx * hx + dy * hy + dz * hz
+            alpha = o_g + t * d_g - q_g
+            beta = o_h + t * d_h - q_h
+            ok = (valid & not_par & (t > t_min) & (t < t_q)
+                  & (alpha >= 0.0) & (alpha <= 1.0)
+                  & (beta >= 0.0) & (beta <= 1.0))
+            t_cand = jnp.where(ok, t, INF)
+            tile_min = jnp.min(t_cand, axis=0, keepdims=True)
+            win = jnp.argmin(t_cand, axis=0).astype(jnp.float32)[None, :]
+            better = tile_min < t_q
+            t_q = jnp.where(better, tile_min, t_q)
+            i_q = jnp.where(better, win + qi.astype(jnp.float32) * TS,
+                            i_q)
+            return t_q, i_q
+
+        t_q, i_q = jax.lax.fori_loop(
+            0, q_tiles, quad_tile,
+            (jnp.full((1, TN), INF, jnp.float32),
+             jnp.zeros((1, TN), jnp.float32)))
+        use_q = t_q < t_s
+        t_hit = jnp.where(use_q, t_q, t_s)
+        idx = jnp.where(use_q, i_q, i_s)
+        fam = jnp.where(use_q, 1.0, 0.0)
+    else:
+        t_hit = t_s
+        idx = i_s
+        fam = jnp.zeros((1, TN), jnp.float32)
+
+    if n_media > 0:
+        cm = (bounce.astype(jnp.int32).astype(jnp.uint32)
+              * jnp.uint32(rng._NUM_STREAMS)
+              + jnp.uint32(rng.STREAM_MEDIUM))
+        med_u = []
+        for pair in range((n_media + 1) // 2):
+            a_w, b_w = rng.threefry2x32(
+                k0, k1, cm,
+                jnp.uint32(pair) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32(pair))
+            med_u.append(rng._to_uniform(a_w))
+            med_u.append(rng._to_uniform(b_w))
+        inv_dlen = 1.0 / jnp.maximum(d_len, 1e-20)
+        for mi in range(n_media):
+            valid_m = med_ref[mi, 18]
+            cx = med_ref[mi, 1]
+            cy = med_ref[mi, 2]
+            cz = med_ref[mi, 3]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            is_sph = med_ref[mi, 0] < 0.5
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c_coef = (ocx * ocx + ocy * ocy + ocz * ocz
+                      - med_ref[mi, 4] * med_ref[mi, 4])
+            disc = half_b * half_b - a * c_coef
+            sqm = jnp.sqrt(jnp.maximum(disc, 0.0))
+            sph_enter = (-half_b - sqm) * inv_a
+            sph_exit = (-half_b + sqm) * inv_a
+            sph_ok = disc > 0.0
+            lo_b = jnp.full((1, TN), -INF, jnp.float32)
+            hi_b = jnp.full((1, TN), INF, jnp.float32)
+            for kk in range(3):
+                r0c = med_ref[mi, 8 + kk]
+                r1c = med_ref[mi, 11 + kk]
+                r2c = med_ref[mi, 14 + kk]
+                ob = r0c * ocx + r1c * ocy + r2c * ocz
+                db = r0c * dx + r1c * dy + r2c * dz
+                hk = med_ref[mi, 5 + kk]
+                par = jnp.abs(db) <= 1e-12
+                inv_db = 1.0 / jnp.where(par, 1.0, db)
+                t1b = (-hk - ob) * inv_db
+                t2b = (hk - ob) * inv_db
+                klo = jnp.minimum(t1b, t2b)
+                khi = jnp.maximum(t1b, t2b)
+                inside = jnp.abs(ob) <= hk
+                big = jnp.where(inside, INF, -INF)
+                klo = jnp.where(par, -big, klo)
+                khi = jnp.where(par, big, khi)
+                lo_b = jnp.maximum(lo_b, klo)
+                hi_b = jnp.minimum(hi_b, khi)
+            obb_ok = lo_b < hi_b
+            t_enter = jnp.where(is_sph, sph_enter, lo_b)
+            t_exit = jnp.where(is_sph, sph_exit, hi_b)
+            okm = ((is_sph & sph_ok) | ((~is_sph) & obb_ok)) \
+                & (valid_m > 0.5)
+            te = jnp.maximum(t_enter, t_min)
+            tx = jnp.minimum(t_exit, t_hit)
+            okm = okm & (te < tx)
+            te = jnp.maximum(te, 0.0)
+            okm = okm & (te < tx)
+            dist_in = (tx - te) * d_len
+            hit_dist = med_ref[mi, 17] * jnp.log(
+                jnp.maximum(med_u[mi], 1e-12))
+            okm = okm & (hit_dist <= dist_in)
+            t_m = te + hit_dist * inv_dlen
+            t_cand_m = jnp.where(okm, t_m, INF)
+            better_m = t_cand_m < t_hit
+            t_hit = jnp.where(better_m, t_cand_m, t_hit)
+            idx = jnp.where(better_m, float(mi), idx)
+            fam = jnp.where(better_m, 2.0, fam)
+
+    hit = t_hit < INF
+    fam = jnp.where(hit, fam, -1.0)
+    out = jnp.concatenate([
+        t_hit, fam, idx,
+        jnp.zeros((5, TN), jnp.float32)], axis=0)
+    out_ref[:, :] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("moving", "has_quads", "n_media", "t_min"))
+def intersect_only(rays8, keys, spheres24, quads24, med24, *,
+                   moving: bool, has_quads: bool, n_media: int,
+                   t_min: float):
+    """Fused closest-hit query: rays8 (8,Q) rows ox oy oz dx dy dz time
+    bounce; returns (t (Q,), fam (Q,) i32, idx (Q,) i32) with the
+    intersect_all contract."""
+    q = rays8.shape[1]
+    s_count = spheres24.shape[1]
+    q_count = quads24.shape[1]
+
+    kern = functools.partial(
+        _intersect_kernel, s_tiles=s_count // TS,
+        q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
+        n_media=n_media, t_min=t_min)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(q // TN,),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, s_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, q_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, q), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * q * (s_count + q_count),
+            bytes_accessed=4 * (18 * q + 24 * (s_count + q_count)),
+            transcendentals=q * (s_count + q_count) // 8),
+    )(rays8, keys, spheres24, quads24, med24)
+    return out[0], out[1].astype(jnp.int32), out[2].astype(jnp.int32)

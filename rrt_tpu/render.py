@@ -35,7 +35,7 @@ from . import rng
 from .camera import Camera, generate_rays
 from .geometry import INF, intersect_all, make_hit, merge_solid_medium
 from .materials import scatter
-from .ops import intersect as ops_intersect
+
 from .ops import megakernel as ops_mega
 from .scene import BG_SKY, SceneArrays
 from .vec import V3
@@ -78,12 +78,14 @@ def background_color(scene: SceneArrays, d: V3) -> V3:
 
 
 def pack_scene(scene: SceneArrays):
-    """Pre-pack primitive matrices for the Pallas kernels (done once per
-    trace, outside the bounce loop)."""
+    """Pre-pack primitive matrices for the fused intersect kernel (done
+    once per trace, outside the bounce loop)."""
     return {
-        "spheres": ops_intersect.pack_spheres(scene),
-        "quads": ops_intersect.pack_quads(scene) if scene.has_quads
-        else None,
+        "sph24": ops_mega.pack_spheres_full(scene),
+        "quad24": (ops_mega.pack_quads_full(scene) if scene.has_quads
+                   else jnp.zeros((24, ops_mega.TS), jnp.float32)),
+        "med24": ops_mega.pack_media(scene),
+        "n_media": scene.n_media if scene.has_media else 0,
     }
 
 
@@ -106,17 +108,18 @@ def _shade(scene: SceneArrays, o: V3, d: V3, time, keys, bounce, alive,
     t_min_v = jnp.full((n,), t_min, jnp.float32)
     t_max_v = jnp.full((n,), INF, jnp.float32)
     if packed is not None:
-        rays8 = ops_intersect.pack_rays(o, d, time, t_min_v)
-        ts, is_ = ops_intersect.sphere_intersect(
-            rays8, t_max_v, packed["spheres"], moving=scene.has_moving)
-        if scene.has_quads:
-            tq, iq = ops_intersect.quad_intersect(rays8, t_max_v,
-                                                  packed["quads"])
-        else:
-            tq = jnp.full_like(ts, INF)
-            iq = jnp.zeros_like(is_)
-        t, fam, idx, hit_mask = merge_solid_medium(
-            scene, o, d, t_min_v, t_max_v, u_med, ts, is_, tq, iq)
+        # Fused closest-hit kernel (media sampled in-kernel with the same
+        # STREAM_MEDIUM addressing, so u_med is unused on this path).
+        bounce_f = jnp.broadcast_to(
+            jnp.asarray(bounce, jnp.float32), (n,))
+        rays8 = jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, time, bounce_f],
+                          axis=0)
+        t, fam, idx = ops_mega.intersect_only(
+            rays8, keys, packed["sph24"], packed["quad24"],
+            packed["med24"], moving=scene.has_moving,
+            has_quads=scene.has_quads, n_media=packed["n_media"],
+            t_min=t_min)
+        hit_mask = fam >= 0
     else:
         t, fam, idx, hit_mask = intersect_all(scene, o, d, time, t_min_v,
                                               t_max_v, u_med)
@@ -221,9 +224,13 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
     pixel_gid = (py * cfg.width + px).astype(jnp.uint32)
     total = p_count * (sample_hi - sample_lo)
     k_steps = max(1, cfg.bounces_per_refill)
-    packed = pack_scene(scene) if cfg.use_pallas else None
-    use_mk = (cfg.use_megakernel and ops_mega.supports(scene)
-              and jax.default_backend() == "tpu")
+    on_tpu = jax.default_backend() == "tpu"
+    use_mk = cfg.use_megakernel and ops_mega.supports(scene) and on_tpu
+    # Fallback scenes (perlin/image textures) still get the fused
+    # closest-hit kernel inside the XLA bounce step.
+    packed = (pack_scene(scene)
+              if ((cfg.use_pallas or cfg.use_megakernel) and on_tpu
+                  and not use_mk) else None)
     if use_mk:
         sph24 = ops_mega.pack_spheres_full(scene)
         quad24 = (ops_mega.pack_quads_full(scene) if scene.has_quads
@@ -339,8 +346,12 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
     pyr = jnp.tile(py, spc)
     gid = (pyr * cfg.width + pxr).astype(jnp.uint32)
     replica = jnp.repeat(jnp.arange(spc, dtype=jnp.uint32), p_count)
-    packed = pack_scene(scene) if (cfg.use_pallas
-                                   and not differentiable) else None
+    # The fused intersect kernel needs TN-aligned batches and a TPU.
+    n_rays_tile = p_count * spc
+    packed = pack_scene(scene) if (
+        cfg.use_pallas and not differentiable
+        and jax.default_backend() == "tpu"
+        and n_rays_tile % ops_mega.TN == 0) else None
 
     def one_pass(pass_i):
         samp = (jnp.uint32(pass_start) + pass_i.astype(jnp.uint32)) \
