@@ -83,9 +83,6 @@ struct GoldenScene {
   const float* tex_color2;
   const float* tex_scale;
   const int32_t* tex_image;
-  // perlin
-  const float* perlin_randvec;  // (256,3)
-  const int32_t* perlin_perm;   // (3,256)
   // images
   int32_t n_images, img_h, img_w;
   const float* images;  // (I,H,W,3)
@@ -224,6 +221,21 @@ void hit_media(const GoldenScene& s, const Vec3& o, const Vec3& d,
   }
 }
 
+Vec3 lattice_grad(int ix, int iy, int iz) {
+  // Hashed lattice gradient — must match rrt_tpu/textures.py.
+  uint32_t h = (uint32_t)ix * 0x8DA6B343u + (uint32_t)iy * 0xD8163841u +
+               (uint32_t)iz * 0xCB1AB31Fu;
+  h ^= h >> 13;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 16;
+  const double scale = 2.0 / 1024.0;
+  Vec3 g = {(double)(h & 1023u) * scale - 1.0,
+            (double)((h >> 10) & 1023u) * scale - 1.0,
+            (double)((h >> 20) & 1023u) * scale - 1.0};
+  double n = std::sqrt(std::fmax(g.dot(g), 1e-6));
+  return g * (1.0 / n);
+}
+
 double perlin_noise(const GoldenScene& s, const Vec3& p) {
   double uf = p.x - std::floor(p.x), vf = p.y - std::floor(p.y),
          wf = p.z - std::floor(p.z);
@@ -235,10 +247,7 @@ double perlin_noise(const GoldenScene& s, const Vec3& p) {
   for (int di = 0; di < 2; ++di)
     for (int dj = 0; dj < 2; ++dj)
       for (int dk = 0; dk < 2; ++dk) {
-        int h = s.perlin_perm[(i + di) & 255] ^
-                s.perlin_perm[256 + ((j + dj) & 255)] ^
-                s.perlin_perm[512 + ((k + dk) & 255)];
-        Vec3 grad = load3(s.perlin_randvec, h);
+        Vec3 grad = lattice_grad(i + di, j + dj, k + dk);
         Vec3 weight = {uf - di, vf - dj, wf - dk};
         double w = (di ? uu : 1 - uu) * (dj ? vv : 1 - vv) *
                    (dk ? ww : 1 - ww);

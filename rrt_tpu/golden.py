@@ -156,6 +156,26 @@ def _hit_media(s: GoldenScene, o, d, t_min, t_max, u_med):
 # --- textures / materials (scalar) --------------------------------------
 
 
+def _lattice_grad(ix, iy, iz):
+    """Hashed lattice gradient — must match textures._lattice_grad."""
+    h = np.uint32(
+        (np.uint32(ix & 0xFFFFFFFF) * np.uint32(0x8DA6B343)
+         + np.uint32(iy & 0xFFFFFFFF) * np.uint32(0xD8163841)
+         + np.uint32(iz & 0xFFFFFFFF) * np.uint32(0xCB1AB31F))
+        & 0xFFFFFFFF)
+    h = np.uint32(h ^ (h >> np.uint32(13)))
+    h = np.uint32((h * np.uint32(0x85EBCA6B)) & 0xFFFFFFFF)
+    h = np.uint32(h ^ (h >> np.uint32(16)))
+    scale = np.float32(2.0 / 1024.0)
+    g = np.array([
+        np.float32(int(h & np.uint32(1023))) * scale - 1.0,
+        np.float32(int((h >> np.uint32(10)) & np.uint32(1023))) * scale
+        - 1.0,
+        np.float32(int((h >> np.uint32(20)) & np.uint32(1023))) * scale
+        - 1.0])
+    return g / np.sqrt(max(float(g @ g), 1e-6))
+
+
 def _perlin_noise(s: GoldenScene, p):
     pf = np.floor(p)
     u = p - pf
@@ -165,10 +185,7 @@ def _perlin_noise(s: GoldenScene, p):
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                h = (s.perlin_perm[0][(i + di) & 255]
-                     ^ s.perlin_perm[1][(j + dj) & 255]
-                     ^ s.perlin_perm[2][(k + dk) & 255])
-                grad = s.perlin_randvec[h]
+                grad = _lattice_grad(i + di, j + dj, k + dk)
                 weight = np.array([u[0] - di, u[1] - dj, u[2] - dk])
                 w = ((uu[0] if di else 1 - uu[0])
                      * (uu[1] if dj else 1 - uu[1])

@@ -54,8 +54,6 @@ class _CScene(ctypes.Structure):
         ("tex_color2", ctypes.c_void_p),
         ("tex_scale", ctypes.c_void_p),
         ("tex_image", ctypes.c_void_p),
-        ("perlin_randvec", ctypes.c_void_p),
-        ("perlin_perm", ctypes.c_void_p),
         ("n_images", ctypes.c_int32),
         ("img_h", ctypes.c_int32),
         ("img_w", ctypes.c_int32),
@@ -108,11 +106,10 @@ def trace(scene, o, d, time, draws, max_depth, t_min=1.0e-3):
                  "med_center", "med_radius", "med_half", "med_rot",
                  "med_neg_inv_density", "mat_fuzz", "mat_ior",
                  "tex_color1", "tex_color2", "tex_scale",
-                 "perlin_randvec", "images", "bg_bottom", "bg_top"):
+                 "images", "bg_bottom", "bg_top"):
         keep[name] = f32(name)
     for name in ("sphere_mat", "quad_mat", "med_btype", "med_mat",
-                 "mat_type", "mat_tex", "tex_type", "tex_image",
-                 "perlin_perm"):
+                 "mat_type", "mat_tex", "tex_type", "tex_image"):
         keep[name] = i32(name)
     for name in ("sphere_valid", "quad_valid", "med_valid"):
         keep[name] = u8(name)

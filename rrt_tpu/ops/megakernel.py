@@ -50,7 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import rng
 from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
-                     MAT_LAMBERTIAN, MAT_METAL, TEX_CHECKER, SceneArrays)
+                     MAT_LAMBERTIAN, MAT_METAL, TEX_CHECKER, TEX_PERLIN,
+                     SceneArrays)
+from ..textures import _lattice_grad
 
 INF = 3.0e38
 
@@ -63,8 +65,9 @@ def _round_up(x, m):
 
 
 def supports(scene: SceneArrays) -> bool:
-    """Media are supported in-kernel; perlin/image textures fall back."""
-    return not (scene.has_perlin or scene.has_images)
+    """Media and perlin-marble run in-kernel; image textures (per-lane
+    atlas gathers) fall back to the XLA path."""
+    return not scene.has_images
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +216,42 @@ def _draws(k0, k1, bounce_f):
     return ux, uy, uz, sx, sy, sz, us[7]
 
 
+def _noise_rows(px_, py_, pz_):
+    """Hash-gradient lattice noise on (1,TN) rows (textures.perlin_noise
+    in row form — pure elementwise, kernel-legal)."""
+    fx = jnp.floor(px_)
+    fy = jnp.floor(py_)
+    fz = jnp.floor(pz_)
+    ux, uy, uz = px_ - fx, py_ - fy, pz_ - fz
+    i = fx.astype(jnp.int32)
+    j = fy.astype(jnp.int32)
+    k = fz.astype(jnp.int32)
+    sx = ux * ux * (3.0 - 2.0 * ux)
+    sy = uy * uy * (3.0 - 2.0 * uy)
+    sz = uz * uz * (3.0 - 2.0 * uz)
+    acc = jnp.zeros_like(px_)
+    for di in range(2):
+        for dj in range(2):
+            for dk in range(2):
+                gx, gy, gz = _lattice_grad(i + di, j + dj, k + dk)
+                dotv = (gx * (ux - di) + gy * (uy - dj)
+                        + gz * (uz - dk))
+                w = ((sx if di else 1.0 - sx) * (sy if dj else 1.0 - sy)
+                     * (sz if dk else 1.0 - sz))
+                acc = acc + w * dotv
+    return acc
+
+
+def _turb_rows(px_, py_, pz_, depth: int = 7):
+    acc = jnp.zeros_like(px_)
+    w = 1.0
+    for od in range(depth):
+        sc = float(1 << od)
+        acc = acc + w * jnp.abs(_noise_rows(px_ * sc, py_ * sc, pz_ * sc))
+        w *= 0.5
+    return acc
+
+
 def _select_winner(blk, t_cand, t_best, attrs_best):
     """Update running (t_best (1,TN), attrs (24,TN)) with this tile's
     candidates. One-hot MXU contraction selects the tile winner's 24
@@ -239,8 +278,8 @@ def _select_winner(blk, t_cand, t_best, attrs_best):
 
 def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
                        bg_ref, state_out_ref, *, k_steps, s_tiles,
-                       q_tiles, moving, has_quads, n_media, t_min,
-                       max_depth):
+                       q_tiles, moving, has_quads, has_perlin, n_media,
+                       t_min, max_depth):
     st = state_ref[:, :]  # (16, TN)
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
@@ -258,13 +297,14 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
         _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
                           state_out_ref, k_steps=k_steps, s_tiles=s_tiles,
                           q_tiles=q_tiles, moving=moving,
-                          has_quads=has_quads, n_media=n_media,
-                          t_min=t_min, max_depth=max_depth)
+                          has_quads=has_quads, has_perlin=has_perlin,
+                          n_media=n_media, t_min=t_min,
+                          max_depth=max_depth)
 
 
 def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
                       state_out_ref, *, k_steps, s_tiles, q_tiles, moving,
-                      has_quads, n_media, t_min, max_depth):
+                      has_quads, has_perlin, n_media, t_min, max_depth):
     ox, oy, oz = st[0:1], st[1:2], st[2:3]
     dx, dy, dz = st[3:4], st[4:5], st[5:6]
     time = st[6:7]
@@ -495,13 +535,20 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
             nz_ = jnp.where(use_med, 0.0, nz_)
             mtype = jnp.where(use_med, float(MAT_ISOTROPIC), mtype)
 
-        # --- texture (solid / checker) ----------------------------------
+        # --- texture (solid / checker / perlin marble) -------------------
         sines = (jnp.sin(texscale * px_) * jnp.sin(texscale * py_)
                  * jnp.sin(texscale * pz_))
         use_c2 = (textype == TEX_CHECKER) & (sines < 0.0)
         albr = jnp.where(use_c2, c2r, c1r)
         albg = jnp.where(use_c2, c2g, c1g)
         albb = jnp.where(use_c2, c2b, c1b)
+        if has_perlin:
+            marble = 0.5 * (1.0 + jnp.sin(
+                texscale * pz_ + 10.0 * _turb_rows(px_, py_, pz_)))
+            is_per = textype == TEX_PERLIN
+            albr = jnp.where(is_per, marble * c1r, albr)
+            albg = jnp.where(is_per, marble * c1g, albg)
+            albb = jnp.where(is_per, marble * c1b, albb)
         if n_media > 0:
             albr = jnp.where(use_med, m_alb[0], albr)
             albg = jnp.where(use_med, m_alb[1], albg)
@@ -615,11 +662,12 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_steps", "moving", "has_quads", "n_media",
-                     "max_depth", "t_min"))
+    static_argnames=("k_steps", "moving", "has_quads", "has_perlin",
+                     "n_media", "max_depth", "t_min"))
 def bounce_steps(state, keys, spheres24, quads24, med24, bg8, *,
                  k_steps: int, moving: bool, has_quads: bool,
-                 n_media: int, max_depth: int, t_min: float):
+                 has_perlin: bool = False, n_media: int = 0,
+                 max_depth: int = 50, t_min: float = 1e-3):
     """Run k_steps fused bounce steps.
 
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
@@ -634,7 +682,8 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8, *,
     kern = functools.partial(
         _bounce_megakernel, k_steps=k_steps, s_tiles=s_count // TS,
         q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
-        n_media=n_media, t_min=t_min, max_depth=float(max_depth))
+        has_perlin=has_perlin, n_media=n_media, t_min=t_min,
+        max_depth=float(max_depth))
 
     state_out = pl.pallas_call(
         kern,

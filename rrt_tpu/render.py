@@ -300,8 +300,8 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
             st = ops_mega.bounce_steps(
                 st, keys, sph24, quad24, med24, bg8, k_steps=k_steps,
                 moving=scene.has_moving, has_quads=scene.has_quads,
-                n_media=n_media_mk, max_depth=cfg.max_depth,
-                t_min=cfg.t_min)
+                has_perlin=scene.has_perlin, n_media=n_media_mk,
+                max_depth=cfg.max_depth, t_min=cfg.t_min)
             return st, keys, pix, next_s, acc
         return jax.lax.fori_loop(0, k_steps, bounce_step, state)
 

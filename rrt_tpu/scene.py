@@ -97,10 +97,6 @@ class SceneArrays:
     tex_scale: jax.Array  # (T,)
     tex_image: jax.Array  # (T,) i32 index into the image atlas
 
-    # Perlin tables (shared).
-    perlin_randvec: jax.Array  # (256,3)
-    perlin_perm: jax.Array  # (3,256) i32 permutations for x,y,z
-
     # Image atlas: all image textures resampled onto one (I,AH,AW,3) block.
     images: jax.Array  # (I,AH,AW,3)
 
@@ -157,14 +153,13 @@ class SceneBuilder:
     SoA arrays instead of boxed trait objects.
     """
 
-    def __init__(self, perlin_seed: int = 0):
+    def __init__(self):
         self._spheres = []  # (c0, c1, t0, t1, radius, mat_id)
         self._quads = []  # (q, u, v, mat_id)
         self._media = []  # (btype, center, radius, half, rot, nid, mat_id)
         self._materials = []  # (type, tex_id, fuzz, ior)
         self._textures = []  # (type, c1, c2, scale, image_idx)
         self._images = []  # list of np (h,w,3) float arrays
-        self._perlin_seed = perlin_seed
         self.bg_mode = BG_SKY
         self.bg_bottom = (1.0, 1.0, 1.0)
         self.bg_top = (0.5, 0.7, 1.0)
@@ -368,8 +363,6 @@ class SceneBuilder:
         tex_scale = np.array([t[3] for t in self._textures], f32)
         tex_image = np.array([t[4] for t in self._textures], i32)
 
-        randvec, perm = make_perlin_tables(self._perlin_seed)
-
         if self._images:
             ah = max(im.shape[0] for im in self._images)
             aw = max(im.shape[1] for im in self._images)
@@ -401,7 +394,6 @@ class SceneBuilder:
             tex_type=dev(tex_type), tex_color1=dev(tex_color1),
             tex_color2=dev(tex_color2), tex_scale=dev(tex_scale),
             tex_image=dev(tex_image),
-            perlin_randvec=dev(randvec), perlin_perm=dev(perm),
             images=dev(images),
             bg_mode=jnp.asarray(self.bg_mode, jnp.int32),
             bg_bottom=jnp.asarray(self.bg_bottom, jnp.float32),
@@ -416,12 +408,3 @@ class SceneBuilder:
         )
 
 
-def make_perlin_tables(seed: int):
-    """Book-style Perlin tables: 256 random unit-cube gradient vectors and
-    independent axis permutations."""
-    rs = np.random.RandomState(seed ^ 0x9E3779B9)
-    randvec = rs.uniform(-1.0, 1.0, size=(256, 3)).astype(np.float32)
-    norms = np.linalg.norm(randvec, axis=1, keepdims=True)
-    randvec = randvec / np.maximum(norms, 1e-8)
-    perm = np.stack([rs.permutation(256) for _ in range(3)]).astype(np.int32)
-    return randvec, perm

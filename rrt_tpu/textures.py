@@ -7,15 +7,42 @@ gradient-lattice scheme with permutation tables as device arrays (8 small
 gathers per batch — only paid when a scene actually samples noise).
 """
 
+import jax
 import jax.numpy as jnp
 
 from .scene import TEX_CHECKER, TEX_PERLIN, TEX_SOLID, SceneArrays
 from .vec import V3
 
 
+def _lattice_grad(ix, iy, iz):
+    """Gradient vector at an integer lattice point from a computational
+    hash — the TPU-native replacement for the book's permutation/gradient
+    tables (RTTNW ch. 5). Table lookups are per-lane gathers (~ms-class
+    on TPU, 56 per bounce at 7 octaves); this is pure elementwise u32
+    arithmetic. Same statistical construction: pseudo-random unit-ish
+    gradient per lattice point, fully deterministic."""
+    h = (ix.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+         + iy.astype(jnp.uint32) * jnp.uint32(0xD8163841)
+         + iz.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F))
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(16))
+    # Three 10-bit fields -> components in [-1, 1).
+    scale = jnp.float32(2.0 / 1024.0)
+    gx = (h & jnp.uint32(1023)).astype(jnp.int32).astype(
+        jnp.float32) * scale - 1.0
+    gy = ((h >> jnp.uint32(10)) & jnp.uint32(1023)).astype(
+        jnp.int32).astype(jnp.float32) * scale - 1.0
+    gz = ((h >> jnp.uint32(20)) & jnp.uint32(1023)).astype(
+        jnp.int32).astype(jnp.float32) * scale - 1.0
+    inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-6))
+    return gx * inv, gy * inv, gz * inv
+
+
 def perlin_noise(scene: SceneArrays, p: V3):
-    """Gradient-lattice noise in [-1,1], shape (N,). RTTNW ch. 5 scheme:
-    hermite-smoothed trilinear interpolation of corner-gradient dots."""
+    """Gradient-lattice noise in [-1,1], shape (N,). RTTNW ch. 5 scheme
+    (hermite-smoothed trilinear interpolation of corner-gradient dots),
+    with hashed gradients instead of table lookups."""
     fx, fy, fz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
     ux, uy, uz = p.x - fx, p.y - fy, p.z - fz
     i = fx.astype(jnp.int32)
@@ -25,20 +52,13 @@ def perlin_noise(scene: SceneArrays, p: V3):
     sy = uy * uy * (3.0 - 2.0 * uy)
     sz = uz * uz * (3.0 - 2.0 * uz)
 
-    perm_x = scene.perlin_perm[0]
-    perm_y = scene.perlin_perm[1]
-    perm_z = scene.perlin_perm[2]
-    grad = V3.from_array(scene.perlin_randvec)
-
     acc = jnp.zeros_like(p.x)
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                h = (perm_x[(i + di) & 255] ^ perm_y[(j + dj) & 255]
-                     ^ perm_z[(k + dk) & 255])
-                g = grad.gather(h)
-                dotv = (g.x * (ux - di) + g.y * (uy - dj)
-                        + g.z * (uz - dk))
+                gx, gy, gz = _lattice_grad(i + di, j + dj, k + dk)
+                dotv = (gx * (ux - di) + gy * (uy - dj)
+                        + gz * (uz - dk))
                 w = ((sx if di else 1.0 - sx) * (sy if dj else 1.0 - sy)
                      * (sz if dk else 1.0 - sz))
                 acc = acc + w * dotv

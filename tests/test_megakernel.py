@@ -106,3 +106,10 @@ def test_megakernel_dead_tile_passthrough():
         mk.pack_bg(scene), k_steps=2, moving=False, has_quads=False,
         n_media=0, max_depth=50, t_min=1e-3)
     np.testing.assert_array_equal(np.asarray(st2), np.asarray(st))
+
+
+def test_megakernel_perlin():
+    from rrt_tpu.scenes import simple_light_scene
+    scene, cam = simple_light_scene(32, 18)
+    assert mk.supports(scene)
+    _one_step(scene, cam, 32, 18)
