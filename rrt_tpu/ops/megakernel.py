@@ -50,8 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import rng
 from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
-                     MAT_LAMBERTIAN, MAT_METAL, TEX_CHECKER, TEX_PERLIN,
-                     SceneArrays)
+                     MAT_LAMBERTIAN, MAT_METAL, TEX_CHECKER, TEX_IMAGE,
+                     TEX_PERLIN, SceneArrays)
 from ..textures import _lattice_grad
 
 INF = 3.0e38
@@ -65,9 +65,10 @@ def _round_up(x, m):
 
 
 def supports(scene: SceneArrays) -> bool:
-    """Media and perlin-marble run in-kernel; image textures (per-lane
-    atlas gathers) fall back to the XLA path."""
-    return not scene.has_images
+    """Media, perlin-marble and sphere image textures run in-kernel;
+    only image textures on quads/media force the XLA fallback (the
+    kernel's one-hot atlas lookup uses sphere uv)."""
+    return not scene.has_images_off_spheres
 
 
 # ---------------------------------------------------------------------------
@@ -98,12 +99,15 @@ def pack_spheres_full(scene: SceneArrays):
     mtype, aux, c1, c2, textype, texscale = _mat_rows(scene,
                                                       scene.sphere_mat)
     s = scene.sphere_radius.shape[0]
-    pad = jnp.zeros((5, s), jnp.float32)
+    tex = scene.mat_tex[scene.sphere_mat]
+    img_idx = scene.tex_image[tex].astype(jnp.float32)
+    pad = jnp.zeros((4, s), jnp.float32)
     mat = jnp.concatenate([
         base.T, r2[None], vel.T,
         scene.sphere_valid.astype(jnp.float32)[None],
         mtype[None], aux[None], c1.T, c2.T, textype[None],
-        texscale[None], scene.sphere_radius[None], pad], axis=0)
+        texscale[None], scene.sphere_radius[None], img_idx[None], pad],
+        axis=0)
     target = _round_up(s, TS)
     if target != s:
         mat = jnp.pad(mat, ((0, 0), (0, target - s)))
@@ -154,6 +158,14 @@ def pack_media(scene: SceneArrays):
         scene.mat_type[scene.med_mat].astype(jnp.float32)[:, None],
         jnp.zeros((d, 1), jnp.float32)], axis=1)
     return rows
+
+
+def pack_atlas(scene: SceneArrays):
+    """(I*AH, 3*AW) channel-major atlas for the in-kernel one-hot lookup:
+    row = image*AH + y; columns [c*AW + x]."""
+    imgs = scene.images  # (I,AH,AW,3)
+    i, ah, aw, _ = imgs.shape
+    return jnp.transpose(imgs, (0, 1, 3, 2)).reshape(i * ah, 3 * aw)
 
 
 def pack_bg(scene: SceneArrays):
@@ -277,9 +289,10 @@ def _select_winner(blk, t_cand, t_best, attrs_best):
 
 
 def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
-                       bg_ref, state_out_ref, *, k_steps, s_tiles,
-                       q_tiles, moving, has_quads, has_perlin, n_media,
-                       t_min, max_depth):
+                       atlas_ref, bg_ref, state_out_ref, *, k_steps,
+                       s_tiles, q_tiles, moving, has_quads, has_perlin,
+                       has_images, img_ah, img_aw, n_media, t_min,
+                       max_depth):
     st = state_ref[:, :]  # (16, TN)
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
@@ -294,17 +307,20 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
 
     @pl.when(tile_alive)
     def _():
-        _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
-                          state_out_ref, k_steps=k_steps, s_tiles=s_tiles,
+        _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref,
+                          atlas_ref, bg_ref, state_out_ref,
+                          k_steps=k_steps, s_tiles=s_tiles,
                           q_tiles=q_tiles, moving=moving,
                           has_quads=has_quads, has_perlin=has_perlin,
-                          n_media=n_media, t_min=t_min,
+                          has_images=has_images, img_ah=img_ah,
+                          img_aw=img_aw, n_media=n_media, t_min=t_min,
                           max_depth=max_depth)
 
 
-def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
-                      state_out_ref, *, k_steps, s_tiles, q_tiles, moving,
-                      has_quads, has_perlin, n_media, t_min, max_depth):
+def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
+                      bg_ref, state_out_ref, *, k_steps, s_tiles, q_tiles,
+                      moving, has_quads, has_perlin, has_images, img_ah,
+                      img_aw, n_media, t_min, max_depth):
     ox, oy, oz = st[0:1], st[1:2], st[2:3]
     dx, dy, dz = st[3:4], st[4:5], st[5:6]
     time = st[6:7]
@@ -549,6 +565,43 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
             albr = jnp.where(is_per, marble * c1r, albr)
             albg = jnp.where(is_per, marble * c1g, albg)
             albb = jnp.where(is_per, marble * c1b, albb)
+        if has_images:
+            # Sphere uv (RTTNW ch. 4.2) -> one-hot atlas contraction
+            # (supports() guarantees image textures appear on spheres
+            # only). Row select rides the MXU; column select is a
+            # sublane reduce.
+            inv_ar = 1.0 / jnp.maximum(jnp.abs(srad), 1e-20)
+            uox = (px_ - scx) * inv_ar
+            uoy = (py_ - scy) * inv_ar
+            uoz = (pz_ - scz) * inv_ar
+            theta = jnp.arccos(jnp.clip(-uoy, -1.0, 1.0))
+            phi = jnp.arctan2(-uoz, uox) + jnp.pi
+            u_t = jnp.clip(phi * (0.5 / jnp.pi), 0.0, 1.0)
+            v_t = 1.0 - jnp.clip(theta * (1.0 / jnp.pi), 0.0, 1.0)
+            xi = jnp.clip((u_t * img_aw).astype(jnp.int32), 0,
+                          img_aw - 1)
+            yi = jnp.clip((v_t * img_ah).astype(jnp.int32), 0,
+                          img_ah - 1)
+            row = (s_sel[19:20].astype(jnp.int32) * img_ah + yi)
+            iah = atlas_ref.shape[0]
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (iah, TN), 0)
+            oh_y = (row_iota == row).astype(jnp.float32)
+            r_cols = jax.lax.dot_general(
+                atlas_ref[:, :], oh_y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (3*AW, TN)
+            x_iota = jax.lax.broadcasted_iota(jnp.int32, (img_aw, TN), 0)
+            oh_x = (x_iota == xi).astype(jnp.float32)
+            img_r = jnp.sum(r_cols[0:img_aw] * oh_x, axis=0,
+                            keepdims=True)
+            img_g = jnp.sum(r_cols[img_aw:2 * img_aw] * oh_x, axis=0,
+                            keepdims=True)
+            img_b = jnp.sum(r_cols[2 * img_aw:3 * img_aw] * oh_x, axis=0,
+                            keepdims=True)
+            is_img = textype == TEX_IMAGE
+            albr = jnp.where(is_img, img_r, albr)
+            albg = jnp.where(is_img, img_g, albg)
+            albb = jnp.where(is_img, img_b, albb)
         if n_media > 0:
             albr = jnp.where(use_med, m_alb[0], albr)
             albg = jnp.where(use_med, m_alb[1], albg)
@@ -663,11 +716,14 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, bg_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k_steps", "moving", "has_quads", "has_perlin",
-                     "n_media", "max_depth", "t_min"))
-def bounce_steps(state, keys, spheres24, quads24, med24, bg8, *,
-                 k_steps: int, moving: bool, has_quads: bool,
-                 has_perlin: bool = False, n_media: int = 0,
-                 max_depth: int = 50, t_min: float = 1e-3):
+                     "has_images", "img_ah", "img_aw", "n_media",
+                     "max_depth", "t_min"))
+def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
+                 atlas=None, *, k_steps: int, moving: bool,
+                 has_quads: bool, has_perlin: bool = False,
+                 has_images: bool = False, img_ah: int = 1,
+                 img_aw: int = 1, n_media: int = 0, max_depth: int = 50,
+                 t_min: float = 1e-3):
     """Run k_steps fused bounce steps.
 
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
@@ -679,10 +735,13 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8, *,
     q_count = quads24.shape[1]
     n_tiles = q // TN
 
+    if atlas is None:
+        atlas = jnp.zeros((8, 128), jnp.float32)
     kern = functools.partial(
         _bounce_megakernel, k_steps=k_steps, s_tiles=s_count // TS,
         q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
-        has_perlin=has_perlin, n_media=n_media, t_min=t_min,
+        has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
+        img_aw=img_aw, n_media=n_media, t_min=t_min,
         max_depth=float(max_depth))
 
     state_out = pl.pallas_call(
@@ -698,6 +757,8 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8, *,
             pl.BlockSpec((24, q_count), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(atlas.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((16, TN), lambda i: (0, i),
@@ -708,7 +769,7 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8, *,
             bytes_accessed=4 * (2 * 16 * q + 2 * q
                                 + 24 * (s_count + q_count)),
             transcendentals=k_steps * q * 40),
-    )(state, keys, spheres24, quads24, med24, bg8)
+    )(state, keys, spheres24, quads24, med24, atlas, bg8)
     return state_out
 
 

@@ -238,6 +238,9 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         med24 = ops_mega.pack_media(scene)
         n_media_mk = scene.n_media if scene.has_media else 0
         bg8 = ops_mega.pack_bg(scene)
+        atlas_mk = (ops_mega.pack_atlas(scene) if scene.has_images
+                    else None)
+        img_ah, img_aw = scene.images.shape[1], scene.images.shape[2]
 
     ones_q = jnp.ones((q,), jnp.float32)
     zeros_q = jnp.zeros((q,), jnp.float32)
@@ -298,9 +301,12 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         if use_mk:
             st, keys, pix, next_s, acc = state
             st = ops_mega.bounce_steps(
-                st, keys, sph24, quad24, med24, bg8, k_steps=k_steps,
+                st, keys, sph24, quad24, med24, bg8, atlas_mk,
+                k_steps=k_steps,
                 moving=scene.has_moving, has_quads=scene.has_quads,
-                has_perlin=scene.has_perlin, n_media=n_media_mk,
+                has_perlin=scene.has_perlin,
+                has_images=scene.has_images, img_ah=img_ah,
+                img_aw=img_aw, n_media=n_media_mk,
                 max_depth=cfg.max_depth, t_min=cfg.t_min)
             return st, keys, pix, next_s, acc
         return jax.lax.fori_loop(0, k_steps, bounce_step, state)

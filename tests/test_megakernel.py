@@ -113,3 +113,17 @@ def test_megakernel_perlin():
     scene, cam = simple_light_scene(32, 18)
     assert mk.supports(scene)
     _one_step(scene, cam, 32, 18)
+
+
+def test_megakernel_image_texture():
+    from rrt_tpu.scenes import earth_scene
+    scene, cam = earth_scene(32, 18)
+    assert mk.supports(scene)
+    _one_step(scene, cam, 32, 18)
+
+
+def test_megakernel_rttnw_final_supported():
+    from rrt_tpu.scenes import rttnw_final_scene
+    scene, cam = rttnw_final_scene(32, 18)
+    assert mk.supports(scene)  # images only on spheres
+    _one_step(scene, cam, 32, 18, n=512)
