@@ -228,6 +228,31 @@ def _draws(k0, k1, bounce_f):
     return ux, uy, uz, sx, sy, sz, us[7]
 
 
+def _atan_poly(z):
+    """atan on [-1,1], max err ~1e-5 (minimax-odd polynomial)."""
+    z2 = z * z
+    return z * (0.9998660 + z2 * (-0.3302995 + z2 * (0.1801410 + z2 * (
+        -0.0851330 + z2 * 0.0208351))))
+
+
+def _atan2_rows(y, x):
+    """atan2 from the bounded-argument polynomial (Mosaic has no inverse
+    trig primitives)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), 1e-30)
+    r = _atan_poly(num / den)
+    r = jnp.where(swap, (jnp.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, jnp.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos_rows(x):
+    return _atan2_rows(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
 def _noise_rows(px_, py_, pz_):
     """Hash-gradient lattice noise on (1,TN) rows (textures.perlin_noise
     in row form — pure elementwise, kernel-legal)."""
@@ -338,10 +363,12 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         d_len = jnp.sqrt(a)
 
         # --- sphere family ----------------------------------------------
-        t_s = jnp.full((1, TN), INF, jnp.float32)
-        s_sel = jnp.zeros((24, TN), jnp.float32)
-        for si in range(s_tiles):
-            blk = sph_ref[:, si * TS:(si + 1) * TS]  # (24, TS)
+        # fori_loop (not python unroll): Mosaic keeps every unrolled
+        # iteration's temporaries on the scoped VMEM stack.
+        def sphere_tile(si, carry):
+            t_s, s_sel = carry
+            off = pl.multiple_of(si * TS, TS)
+            blk = sph_ref[:, pl.ds(off, TS)]  # (24, TS)
             bx = blk[0:1].T
             by = blk[1:2].T
             bz = blk[2:3].T
@@ -366,14 +393,19 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             in0 = ok & (root0 > t_min) & (root0 < t_s)
             in1 = ok & (root1 > t_min) & (root1 < t_s)
             t_cand = jnp.where(in0, root0, jnp.where(in1, root1, INF))
-            t_s, s_sel = _select_winner(blk, t_cand, t_s, s_sel)
+            return _select_winner(blk, t_cand, t_s, s_sel)
+
+        t_s, s_sel = jax.lax.fori_loop(
+            0, s_tiles, sphere_tile,
+            (jnp.full((1, TN), INF, jnp.float32),
+             jnp.zeros((24, TN), jnp.float32)))
 
         # --- quad family ------------------------------------------------
         if has_quads:
-            t_q = jnp.full((1, TN), INF, jnp.float32)
-            q_sel = jnp.zeros((24, TN), jnp.float32)
-            for qi in range(q_tiles):
-                blk = quad_ref[:, qi * TS:(qi + 1) * TS]
+            def quad_tile(qi, carry):
+                t_q, q_sel = carry
+                off = pl.multiple_of(qi * TS, TS)
+                blk = quad_ref[:, pl.ds(off, TS)]
                 nx = blk[0:1].T
                 ny = blk[1:2].T
                 nz = blk[2:3].T
@@ -402,7 +434,12 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       & (alpha >= 0.0) & (alpha <= 1.0)
                       & (beta >= 0.0) & (beta <= 1.0))
                 t_cand = jnp.where(ok, t, INF)
-                t_q, q_sel = _select_winner(blk, t_cand, t_q, q_sel)
+                return _select_winner(blk, t_cand, t_q, q_sel)
+
+            t_q, q_sel = jax.lax.fori_loop(
+                0, q_tiles, quad_tile,
+                (jnp.full((1, TN), INF, jnp.float32),
+                 jnp.zeros((24, TN), jnp.float32)))
 
             use_q = t_q < t_s
             t_hit = jnp.where(use_q, t_q, t_s)
@@ -574,8 +611,8 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             uox = (px_ - scx) * inv_ar
             uoy = (py_ - scy) * inv_ar
             uoz = (pz_ - scz) * inv_ar
-            theta = jnp.arccos(jnp.clip(-uoy, -1.0, 1.0))
-            phi = jnp.arctan2(-uoz, uox) + jnp.pi
+            theta = _acos_rows(jnp.clip(-uoy, -1.0, 1.0))
+            phi = _atan2_rows(-uoz, uox) + jnp.pi
             u_t = jnp.clip(phi * (0.5 / jnp.pi), 0.0, 1.0)
             v_t = 1.0 - jnp.clip(theta * (1.0 / jnp.pi), 0.0, 1.0)
             xi = jnp.clip((u_t * img_aw).astype(jnp.int32), 0,
