@@ -47,8 +47,10 @@ def build_parser():
     p.add_argument("-o", "--output", default="o.ppm",
                    help="output path; .png or .ppm by extension")
     p.add_argument("--max-depth", type=int, default=50)
-    p.add_argument("--spp-chunk", type=int, default=0,
-                   help="samples per progressive pass (0 = all at once)")
+    p.add_argument("--spp-chunk", type=int, default=-1,
+                   help="samples per progressive pass (-1 = auto: "
+                   "min(32, spp) so long renders report progress; "
+                   "0 = all at once)")
     p.add_argument("--queue-size", type=int, default=131072)
     p.add_argument("--driver", choices=("queue", "batch"), default="queue")
     p.add_argument("--pallas", action="store_true",
@@ -116,11 +118,15 @@ def main(argv=None):
     else:
         # Batch driver (parity/debug path): internally tiled by
         # render_image; progressive chunking is a queue-driver feature.
+        # Samples [lo, hi) are rendered via pass_start so checkpoint
+        # resume never re-renders (and double-counts) finished samples.
         from rrt_tpu.render import render_image
 
         def _batch_chunk(sc, cm, x, y, k, lo, hi):
-            img, nt = render_image(sc, cm, cfg, k)
-            return img.reshape(-1, 3) * jnp.float32(cfg.spp), nt
+            spc = cfg.samples_per_pass
+            img, nt = render_image(sc, cm, cfg, k, pass_start=lo // spc,
+                                   n_passes=(hi - lo) // spc)
+            return img.reshape(-1, 3) * jnp.float32(hi - lo), nt
 
         import jax.numpy as jnp
         trace_chunk = jax.jit(_batch_chunk, static_argnums=(5, 6))
@@ -128,7 +134,10 @@ def main(argv=None):
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
-    chunk = args.spp_chunk if args.spp_chunk > 0 else spp
+    if args.spp_chunk < 0:  # auto: progress at least every 32 spp
+        chunk = min(32, spp)
+    else:
+        chunk = args.spp_chunk if args.spp_chunk > 0 else spp
     if args.driver == "batch":
         spc = cfg.samples_per_pass
         if spp % spc:
@@ -152,12 +161,23 @@ def main(argv=None):
         try:
             acc_l, spp_done, seed_ck, meta = rio.load_checkpoint(
                 args.checkpoint)
-            if seed_ck == seed and meta.get("scene") == args.scene \
-                    and acc_l.shape[0] == n_pix:
-                acc, spp_done = acc_l, spp_done
+            compatible = (seed_ck == seed and meta.get("scene") == args.scene
+                          and meta.get("width", width) == width
+                          and meta.get("height", height) == height
+                          and meta.get("max_depth",
+                                       args.max_depth) == args.max_depth
+                          and acc_l.shape[0] == n_pix)
+            if compatible and args.driver == "batch" \
+                    and spp_done % cfg.samples_per_pass:
+                log("checkpoint spp_done not a multiple of the batch "
+                    "driver's samples_per_pass; starting fresh")
+                spp_done = 0
+            elif compatible:
+                acc = acc_l
                 log(f"resumed checkpoint at {spp_done}/{spp} spp")
             else:
                 log("checkpoint incompatible; starting fresh")
+                spp_done = 0
         except FileNotFoundError:
             pass
 
@@ -179,7 +199,8 @@ def main(argv=None):
                                 or spp_done >= spp):
             rio.save_checkpoint(args.checkpoint, acc, spp_done, seed,
                                 {"scene": args.scene, "width": width,
-                                 "height": height})
+                                 "height": height,
+                                 "max_depth": args.max_depth})
 
     if args.profile:
         jax.profiler.stop_trace()

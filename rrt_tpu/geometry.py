@@ -8,7 +8,7 @@ every vector stored as separate component arrays (see rrt_tpu.vec for why
 
 Per-pair candidate work appears as (N,1)x(1,S) broadcasts that XLA fuses
 into the argmin reduction; on TPU the same math runs inside the fused
-Pallas kernels (rrt_tpu.ops.intersect) so the (N,S) tile never touches
+Pallas kernels (rrt_tpu.ops.megakernel) so the (N,S) tile never touches
 HBM. Only the winning primitive's full hit record is reconstructed
 afterwards (`make_hit`).
 

@@ -142,8 +142,11 @@ def pack_media(scene: SceneArrays):
     """(D, 24) f32 SMEM table, one row per medium slot:
     0 btype | 1-3 center | 4 radius | 5-7 half | 8-16 rot (row major,
     world-from-box) | 17 neg_inv_density | 18 valid | 19-21 isotropic
-    albedo | 22 mat_type | 23 pad. Read scalar-wise in the kernel (media
-    are few)."""
+    albedo | 22-23 pad. Read scalar-wise in the kernel (media are few).
+
+    Medium materials are MAT_ISOTROPIC by construction (SceneBuilder's
+    medium_* methods allocate them), so the kernel hard-codes the
+    isotropic model for medium hits and no mat_type is packed."""
     d = scene.med_radius.shape[0]
     alb = scene.tex_color1[scene.mat_tex[scene.med_mat]]
     rows = jnp.concatenate([
@@ -155,8 +158,7 @@ def pack_media(scene: SceneArrays):
         scene.med_neg_inv_density[:, None],
         scene.med_valid.astype(jnp.float32)[:, None],
         alb,
-        scene.mat_type[scene.med_mat].astype(jnp.float32)[:, None],
-        jnp.zeros((d, 1), jnp.float32)], axis=1)
+        jnp.zeros((d, 2), jnp.float32)], axis=1)
     return rows
 
 

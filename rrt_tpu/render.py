@@ -406,30 +406,37 @@ def _as_key(seed):
     return seed
 
 
-@partial(jax.jit, static_argnames=("cfg", "differentiable"))
+@partial(jax.jit, static_argnames=("cfg", "differentiable", "pass_start",
+                                   "n_passes"))
 def render_image(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
-                 seed, differentiable: bool = False):
+                 seed, differentiable: bool = False, pass_start: int = 0,
+                 n_passes: int | None = None):
     """Render the full image on the local device via the batch driver.
 
-    Returns (image (H,W,3) float radiance in [0,inf), n_traced).
-    Forward-only rendering is faster through `render_image_queue`;
-    multi-device rendering lives in parallel.mesh.
+    pass_start/n_passes select a sample sub-range (samples
+    [pass_start*spc, (pass_start+n_passes)*spc)) for progressive /
+    resumed rendering; the default covers all cfg.spp samples.
+    Returns (image (H,W,3) float mean radiance over the rendered
+    samples, n_traced). Forward-only rendering is faster through
+    `render_image_queue`; multi-device rendering lives in parallel.mesh.
     """
     if cfg.spp % cfg.samples_per_pass != 0:
         raise ValueError("spp must be a multiple of samples_per_pass")
     seed_key = _as_key(seed)
     px, py, n_tiles, tp = _tile_coords(cfg)
-    n_passes = cfg.spp // cfg.samples_per_pass
+    if n_passes is None:
+        n_passes = cfg.spp // cfg.samples_per_pass
 
     def do_tile(tile_id):
         return render_tile(scene, camera, px[tile_id], py[tile_id], cfg,
-                           seed_key, 0, n_passes,
+                           seed_key, pass_start, n_passes,
                            differentiable=differentiable)
 
     rad, n_traced = jax.lax.map(do_tile, jnp.arange(n_tiles,
                                                     dtype=jnp.int32))
     rad = rad.reshape(n_tiles * tp, 3)[: cfg.width * cfg.height]
-    image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
+    image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(
+        n_passes * cfg.samples_per_pass)
     return image, jnp.sum(n_traced)
 
 

@@ -71,11 +71,25 @@ class Xoshiro128Plus:
         return (self.next_u32() >> 8) * (1.0 / (1 << 24))
 
     def uniform_inclusive(self, low: float, high: float) -> float:
-        """rand `UniformFloat<f32>::new_inclusive` sample."""
+        """rand `UniformFloat<f32>::new_inclusive` sample.
+
+        Every arithmetic step rounds through f32, reproducing rand's
+        `UniformFloat<f32>` exactly (including the constructor's
+        scale-decrement loop), so the draw stream is bit-exact rather
+        than ~1-ulp close (the moving-sphere dy draws in book2chap2 are
+        sensitive to this)."""
         import struct
+
+        import numpy as np
+        f32 = np.float32
+        low32, high32 = f32(low), f32(high)
+        max_rand = f32(f32(1.0) - f32(2.0 ** -24))
+        scale = f32(f32(high32 - low32) / max_rand)
+        # rand decrements scale until scale * max_rand + low <= high.
+        while not (f32(f32(scale * max_rand) + low32) <= high32):
+            scale = np.nextafter(scale, f32(0.0), dtype=f32)
         x = self.next_u32() >> 9  # 23 mantissa bits
-        value1_2 = struct.unpack("<f", struct.pack(
-            "<I", 0x3F800000 | x))[0]
-        max_rand = 1.0 - 2.0 ** -24
-        scale = (high - low) / max_rand
-        return (value1_2 - 1.0) * scale + low
+        value1_2 = f32(struct.unpack("<f", struct.pack(
+            "<I", 0x3F800000 | x))[0])
+        value0_1 = f32(value1_2 - f32(1.0))
+        return float(f32(f32(value0_1 * scale) + low32))

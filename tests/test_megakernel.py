@@ -48,10 +48,13 @@ def _one_step(scene, cam, w, h, n=1024):
                        alive, jnp.zeros((n,)))
     quad24 = (mk.pack_quads_full(scene) if scene.has_quads
               else jnp.zeros((24, mk.TS), jnp.float32))
+    atlas = mk.pack_atlas(scene) if scene.has_images else None
     st2 = mk.bounce_steps(
         st, keys, mk.pack_spheres_full(scene), quad24,
-        mk.pack_media(scene), mk.pack_bg(scene), k_steps=1,
+        mk.pack_media(scene), mk.pack_bg(scene), atlas, k_steps=1,
         moving=scene.has_moving, has_quads=scene.has_quads,
+        has_perlin=scene.has_perlin, has_images=scene.has_images,
+        img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
         n_media=scene.n_media if scene.has_media else 0, max_depth=50,
         t_min=1e-3)
     o2, d2, _, thr2, pend2, bounce2, alive2, traced = mk.unpack_state(st2)
@@ -66,6 +69,15 @@ def _one_step(scene, cam, w, h, n=1024):
                      (pend2.z, contrib.z)):
         diff = np.abs(np.asarray(got) - np.asarray(exp))[agree]
         assert diff.max() < 1e-4
+    # In-kernel texture/albedo: the surviving lanes' throughput must
+    # match the XLA attenuation. Image/perlin uv goes through the
+    # kernel's polynomial inverse-trig, so a small fraction of lanes may
+    # land on a neighboring texel — fraction-based with f32 tolerance.
+    exp_thr = V3.where(sv, att, V3.ones((n,)))
+    for got, exp in ((thr2.x, exp_thr.x), (thr2.y, exp_thr.y),
+                     (thr2.z, exp_thr.z)):
+        close = (np.abs(np.asarray(got) - np.asarray(exp)) < 2e-3)[agree]
+        assert close.mean() > 0.97, f"throughput mismatch: {close.mean()}"
     # New origins agree on >90% of lanes (rest are f32-cancellation
     # winner flips, both self-consistent).
     exp_o = V3.where(sv, no, o)
