@@ -291,10 +291,11 @@ def _turb_rows(px_, py_, pz_, depth: int = 7):
     return acc
 
 
-def _select_winner(blk, t_cand, t_best, attrs_best):
-    """Update running (t_best (1,TN), attrs (24,TN)) with this tile's
-    candidates. One-hot MXU contraction selects the tile winner's 24
-    attribute rows at once."""
+def _select_winner(blk, t_cand, base_idx, t_best, attrs_best, idx_best):
+    """Update running (t_best (1,TN), attrs (24,TN), idx (1,TN) f32) with
+    this tile's candidates. One-hot MXU contraction selects the tile
+    winner's 24 attribute rows at once; the global winner index rides
+    along for the backward pass's gradient scatter."""
     tile_min = jnp.min(t_cand, axis=0, keepdims=True)  # (1,TN)
     win = jnp.argmin(t_cand, axis=0)[None, :]  # (1,TN)
     rows = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 0)
@@ -312,7 +313,9 @@ def _select_winner(blk, t_cand, t_best, attrs_best):
     # Mosaic i8->i1 truncation bug; arithmetic select avoids it.
     bf = better.astype(jnp.float32)
     attrs_best = bf * sel + (1.0 - bf) * attrs_best
-    return t_best, attrs_best
+    idx_best = jnp.where(better, win.astype(jnp.float32) + base_idx,
+                         idx_best)
+    return t_best, attrs_best, idx_best
 
 
 def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
@@ -348,16 +351,45 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       bg_ref, state_out_ref, *, k_steps, s_tiles, q_tiles,
                       moving, has_quads, has_perlin, has_images, img_ah,
                       img_aw, n_media, t_min, max_depth):
-    ox, oy, oz = st[0:1], st[1:2], st[2:3]
-    dx, dy, dz = st[3:4], st[4:5], st[5:6]
-    time = st[6:7]
-    thx, thy, thz = st[7:8], st[8:9], st[9:10]
-    pex, pey, pez = st[10:11], st[11:12], st[12:13]
-    bounce = st[13:14]
-    alive = st[14:15] > 0.5
-    traced = st[15:16]
-
+    rows = _unpack_rows(st)
     for _step in range(k_steps):
+        rows, _ = _one_bounce(
+            rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref, bg_ref,
+            s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
+            has_quads=has_quads, has_perlin=has_perlin,
+            has_images=has_images, img_ah=img_ah, img_aw=img_aw,
+            n_media=n_media, t_min=t_min, max_depth=max_depth)
+    state_out_ref[:, :] = _pack_rows(rows)
+
+
+def _unpack_rows(st):
+    """(16,TN) state matrix -> tuple of (1,TN) rows (alive as bool)."""
+    return (st[0:1], st[1:2], st[2:3], st[3:4], st[4:5], st[5:6],
+            st[6:7], st[7:8], st[8:9], st[9:10], st[10:11], st[11:12],
+            st[12:13], st[13:14], st[14:15] > 0.5, st[15:16])
+
+
+def _pack_rows(rows):
+    (ox, oy, oz, dx, dy, dz, time, thx, thy, thz, pex, pey, pez,
+     bounce, alive, traced) = rows
+    return jnp.concatenate([
+        ox, oy, oz, dx, dy, dz, time, thx, thy, thz, pex, pey, pez,
+        bounce, alive.astype(jnp.float32), traced], axis=0)
+
+
+def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
+                bg_ref, *, s_tiles, q_tiles, moving, has_quads,
+                has_perlin, has_images, img_ah, img_aw, n_media, t_min,
+                max_depth, want_aux=False):
+    """One fused bounce step on (1,TN) state rows.
+
+    Shared by the forward megakernel (want_aux=False) and the backward
+    kernel's replay pass, which stores the returned aux (winner ids,
+    selected attrs, decisions, draws) so the reverse sweep re-derives
+    the step differentiably without re-intersecting (megakernel_vjp)."""
+    (ox, oy, oz, dx, dy, dz, time, thx, thy, thz, pex, pey, pez,
+     bounce, alive, traced) = rows
+    if True:
         a = dx * dx + dy * dy + dz * dz
         o_dot_d = ox * dx + oy * dy + oz * dz
         o_dot_o = ox * ox + oy * oy + oz * oz
@@ -368,7 +400,7 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         # fori_loop (not python unroll): Mosaic keeps every unrolled
         # iteration's temporaries on the scoped VMEM stack.
         def sphere_tile(si, carry):
-            t_s, s_sel = carry
+            t_s, s_sel, i_s = carry
             off = pl.multiple_of(si * TS, TS)
             blk = sph_ref[:, pl.ds(off, TS)]  # (24, TS)
             bx = blk[0:1].T
@@ -395,17 +427,20 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             in0 = ok & (root0 > t_min) & (root0 < t_s)
             in1 = ok & (root1 > t_min) & (root1 < t_s)
             t_cand = jnp.where(in0, root0, jnp.where(in1, root1, INF))
-            return _select_winner(blk, t_cand, t_s, s_sel)
+            return _select_winner(blk, t_cand,
+                                  si.astype(jnp.float32) * TS,
+                                  t_s, s_sel, i_s)
 
-        t_s, s_sel = jax.lax.fori_loop(
+        t_s, s_sel, i_s = jax.lax.fori_loop(
             0, s_tiles, sphere_tile,
             (jnp.full((1, TN), INF, jnp.float32),
-             jnp.zeros((24, TN), jnp.float32)))
+             jnp.zeros((24, TN), jnp.float32),
+             jnp.zeros((1, TN), jnp.float32)))
 
         # --- quad family ------------------------------------------------
         if has_quads:
             def quad_tile(qi, carry):
-                t_q, q_sel = carry
+                t_q, q_sel, i_q = carry
                 off = pl.multiple_of(qi * TS, TS)
                 blk = quad_ref[:, pl.ds(off, TS)]
                 nx = blk[0:1].T
@@ -436,16 +471,21 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       & (alpha >= 0.0) & (alpha <= 1.0)
                       & (beta >= 0.0) & (beta <= 1.0))
                 t_cand = jnp.where(ok, t, INF)
-                return _select_winner(blk, t_cand, t_q, q_sel)
+                return _select_winner(blk, t_cand,
+                                      qi.astype(jnp.float32) * TS,
+                                      t_q, q_sel, i_q)
 
-            t_q, q_sel = jax.lax.fori_loop(
+            t_q, q_sel, i_q = jax.lax.fori_loop(
                 0, q_tiles, quad_tile,
                 (jnp.full((1, TN), INF, jnp.float32),
-                 jnp.zeros((24, TN), jnp.float32)))
+                 jnp.zeros((24, TN), jnp.float32),
+                 jnp.zeros((1, TN), jnp.float32)))
 
             use_q = t_q < t_s
             t_hit = jnp.where(use_q, t_q, t_s)
         else:
+            i_q = jnp.zeros((1, TN), jnp.float32)
+            q_sel = None  # no quad family packed
             use_q = jnp.zeros((1, TN), bool)
             t_hit = t_s
 
@@ -742,14 +782,26 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         thx = jnp.where(survives, thx * atr, thx)
         thy = jnp.where(survives, thy * atg, thy)
         thz = jnp.where(survives, thz * atb, thz)
-        bounce = bounce + survives.astype(jnp.float32)
-        traced = traced + alive.astype(jnp.float32)
-        alive = survives
+        new_bounce = bounce + survives.astype(jnp.float32)
+        new_traced = traced + alive.astype(jnp.float32)
 
-    out = jnp.concatenate([
-        ox, oy, oz, dx, dy, dz, time, thx, thy, thz, pex, pey, pez,
-        bounce, alive.astype(jnp.float32), traced], axis=0)
-    state_out_ref[:, :] = out
+    new_rows = (ox, oy, oz, dx, dy, dz, time, thx, thy, thz,
+                pex, pey, pez, new_bounce, survives, new_traced)
+    if not want_aux:
+        return new_rows, None
+    aux_out = dict(
+        t_hit=t_hit, win_s=i_s, win_q=i_q, sel_s=s_sel, sel_q=q_sel,
+        use_q=use_q, hit=hit, miss=miss, survives=survives, front=front,
+        degen=degen, met_ok=met_ok, do_reflect=do_reflect, use_c2=use_c2,
+        draws=(ux, uy_, uz, sx, sy, sz, u_choice), bounce=bounce)
+    if has_perlin:
+        aux_out["is_per"] = is_per
+    if has_images:
+        aux_out["is_img"] = is_img
+        aux_out["xi"] = xi
+        aux_out["yi"] = yi
+        aux_out["img_row"] = row
+    return new_rows, aux_out
 
 
 @functools.partial(
