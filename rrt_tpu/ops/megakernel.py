@@ -170,6 +170,62 @@ def pack_atlas(scene: SceneArrays):
     return jnp.transpose(imgs, (0, 1, 3, 2)).reshape(i * ah, 3 * aw)
 
 
+def _tile_bounding_spheres(lo, hi, valid):
+    """Conservative per-TS-tile bounding spheres from per-slot AABBs.
+
+    lo, hi: (S, 3) slot bounds; valid: (S,) bool. Returns (n_tiles, 4)
+    f32 rows (cx, cy, cz, radius); radius < 0 marks an all-invalid tile
+    (always culled)."""
+    s = lo.shape[0]
+    n_tiles = s // TS
+    big = jnp.float32(1e30)
+    lo = jnp.where(valid[:, None], lo, big).reshape(n_tiles, TS, 3)
+    hi = jnp.where(valid[:, None], hi, -big).reshape(n_tiles, TS, 3)
+    tlo = jnp.min(lo, axis=1)
+    thi = jnp.max(hi, axis=1)
+    any_valid = jnp.any(valid.reshape(n_tiles, TS), axis=1)
+    center = jnp.where(any_valid[:, None], 0.5 * (tlo + thi), 0.0)
+    half = jnp.where(any_valid[:, None], 0.5 * (thi - tlo), 0.0)
+    rad = jnp.sqrt(jnp.sum(half * half, axis=1))
+    rad = jnp.where(any_valid, rad * 1.0001 + 1e-5, -1.0)
+    return jax.lax.stop_gradient(
+        jnp.concatenate([center, rad[:, None]], axis=1))
+
+
+def pack_sphere_bounds(scene: SceneArrays):
+    """(s_tiles, 4) bounding spheres over pack-order sphere tiles (both
+    motion endpoints +- |radius|; build order is spatially coherent for
+    the book scenes, so tiles stay tight without reordering)."""
+    c0 = scene.sphere_c0
+    c1 = scene.sphere_c0 + scene.sphere_dc
+    r = jnp.abs(scene.sphere_radius)[:, None]
+    lo = jnp.minimum(c0, c1) - r
+    hi = jnp.maximum(c0, c1) + r
+    s = scene.sphere_radius.shape[0]
+    target = _round_up(s, TS)
+    if target != s:
+        lo = jnp.pad(lo, ((0, target - s), (0, 0)))
+        hi = jnp.pad(hi, ((0, target - s), (0, 0)))
+    valid = jnp.pad(scene.sphere_valid, (0, target - s))
+    return _tile_bounding_spheres(lo, hi, valid)
+
+
+def pack_quad_bounds(scene: SceneArrays):
+    """(q_tiles, 4) bounding spheres over pack-order quad tiles (AABB of
+    the four parallelogram corners per slot)."""
+    q, u, v = scene.quad_q, scene.quad_u, scene.quad_v
+    corners = jnp.stack([q, q + u, q + v, q + u + v], axis=0)  # (4,Q,3)
+    lo = jnp.min(corners, axis=0)
+    hi = jnp.max(corners, axis=0)
+    nq = q.shape[0]
+    target = _round_up(nq, TS)
+    if target != nq:
+        lo = jnp.pad(lo, ((0, target - nq), (0, 0)))
+        hi = jnp.pad(hi, ((0, target - nq), (0, 0)))
+    valid = jnp.pad(scene.quad_valid, (0, target - nq))
+    return _tile_bounding_spheres(lo, hi, valid)
+
+
 def pack_bg(scene: SceneArrays):
     """(8,) f32 SMEM operand: bottom rgb, top rgb, mode, pad."""
     return jnp.concatenate([
@@ -319,10 +375,10 @@ def _select_winner(blk, t_cand, base_idx, t_best, attrs_best, idx_best):
 
 
 def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
-                       atlas_ref, bg_ref, state_out_ref, *, k_steps,
-                       s_tiles, q_tiles, moving, has_quads, has_perlin,
-                       has_images, img_ah, img_aw, n_media, t_min,
-                       max_depth):
+                       atlas_ref, bg_ref, sb_ref, qb_ref, state_out_ref,
+                       *, k_steps, s_tiles, q_tiles, moving, has_quads,
+                       has_perlin, has_images, img_ah, img_aw, n_media,
+                       t_min, max_depth, cull_s, cull_q):
     st = state_ref[:, :]  # (16, TN)
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
@@ -344,13 +400,15 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
                           has_quads=has_quads, has_perlin=has_perlin,
                           has_images=has_images, img_ah=img_ah,
                           img_aw=img_aw, n_media=n_media, t_min=t_min,
-                          max_depth=max_depth)
+                          max_depth=max_depth, sb_ref=sb_ref,
+                          qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
 
 
 def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       bg_ref, state_out_ref, *, k_steps, s_tiles, q_tiles,
                       moving, has_quads, has_perlin, has_images, img_ah,
-                      img_aw, n_media, t_min, max_depth):
+                      img_aw, n_media, t_min, max_depth, sb_ref=None,
+                      qb_ref=None, cull_s=False, cull_q=False):
     rows = _unpack_rows(st)
     for _step in range(k_steps):
         rows, _ = _one_bounce(
@@ -358,7 +416,8 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
             has_quads=has_quads, has_perlin=has_perlin,
             has_images=has_images, img_ah=img_ah, img_aw=img_aw,
-            n_media=n_media, t_min=t_min, max_depth=max_depth)
+            n_media=n_media, t_min=t_min, max_depth=max_depth,
+            sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
     state_out_ref[:, :] = _pack_rows(rows)
 
 
@@ -380,7 +439,8 @@ def _pack_rows(rows):
 def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 bg_ref, *, s_tiles, q_tiles, moving, has_quads,
                 has_perlin, has_images, img_ah, img_aw, n_media, t_min,
-                max_depth, want_aux=False):
+                max_depth, want_aux=False, sb_ref=None, qb_ref=None,
+                cull_s=False, cull_q=False):
     """One fused bounce step on (1,TN) state rows.
 
     Shared by the forward megakernel (want_aux=False) and the backward
@@ -399,7 +459,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         # --- sphere family ----------------------------------------------
         # fori_loop (not python unroll): Mosaic keeps every unrolled
         # iteration's temporaries on the scoped VMEM stack.
-        def sphere_tile(si, carry):
+        def sphere_tile_full(si, carry):
             t_s, s_sel, i_s = carry
             off = pl.multiple_of(si * TS, TS)
             blk = sph_ref[:, pl.ds(off, TS)]  # (24, TS)
@@ -431,6 +491,36 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                                   si.astype(jnp.float32) * TS,
                                   t_s, s_sel, i_s)
 
+        if cull_s:
+            # Whole-tile skip: one cheap per-lane test against the
+            # tile's bounding sphere gates the TS-wide quadratic + the
+            # one-hot MXU selection — most tiles of a large scene are
+            # nowhere near most rays (the TPU answer to the reference's
+            # BVH walk, /root/reference/src/acceleration.rs:221-272).
+            def sphere_tile(si, carry):
+                bcx = sb_ref[si, 0]
+                bcy = sb_ref[si, 1]
+                bcz = sb_ref[si, 2]
+                brad = sb_ref[si, 3]
+                bocx = ox - bcx
+                bocy = oy - bcy
+                bocz = oz - bcz
+                hb = bocx * dx + bocy * dy + bocz * dz
+                cc = (bocx * bocx + bocy * bocy + bocz * bocz
+                      - brad * brad)
+                disc_b = hb * hb - a * cc
+                sqb = jnp.sqrt(jnp.maximum(disc_b, 0.0))
+                t_near = (-hb - sqb) * inv_a
+                t_far = (-hb + sqb) * inv_a
+                poss = ((disc_b > 0.0) & (t_far > t_min)
+                        & (t_near < carry[0]))
+                return jax.lax.cond(
+                    jnp.any(poss),
+                    lambda c: sphere_tile_full(si, c),
+                    lambda c: c, carry)
+        else:
+            sphere_tile = sphere_tile_full
+
         t_s, s_sel, i_s = jax.lax.fori_loop(
             0, s_tiles, sphere_tile,
             (jnp.full((1, TN), INF, jnp.float32),
@@ -439,7 +529,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
 
         # --- quad family ------------------------------------------------
         if has_quads:
-            def quad_tile(qi, carry):
+            def quad_tile_full(qi, carry):
                 t_q, q_sel, i_q = carry
                 off = pl.multiple_of(qi * TS, TS)
                 blk = quad_ref[:, pl.ds(off, TS)]
@@ -474,6 +564,31 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 return _select_winner(blk, t_cand,
                                       qi.astype(jnp.float32) * TS,
                                       t_q, q_sel, i_q)
+
+            if cull_q:
+                def quad_tile(qi, carry):
+                    bcx = qb_ref[qi, 0]
+                    bcy = qb_ref[qi, 1]
+                    bcz = qb_ref[qi, 2]
+                    brad = qb_ref[qi, 3]
+                    bocx = ox - bcx
+                    bocy = oy - bcy
+                    bocz = oz - bcz
+                    hb = bocx * dx + bocy * dy + bocz * dz
+                    cc = (bocx * bocx + bocy * bocy + bocz * bocz
+                          - brad * brad)
+                    disc_b = hb * hb - a * cc
+                    sqb = jnp.sqrt(jnp.maximum(disc_b, 0.0))
+                    t_near = (-hb - sqb) * inv_a
+                    t_far = (-hb + sqb) * inv_a
+                    poss = ((disc_b > 0.0) & (t_far > t_min)
+                            & (t_near < carry[0]))
+                    return jax.lax.cond(
+                        jnp.any(poss),
+                        lambda c: quad_tile_full(qi, c),
+                        lambda c: c, carry)
+            else:
+                quad_tile = quad_tile_full
 
             t_q, q_sel, i_q = jax.lax.fori_loop(
                 0, q_tiles, quad_tile,
@@ -804,13 +919,19 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
     return new_rows, aux_out
 
 
+# Whole-tile culling pays off once there are enough primitive tiles for
+# skips to dominate the per-tile bound test.
+CULL_MIN_TILES = 3
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k_steps", "moving", "has_quads", "has_perlin",
                      "has_images", "img_ah", "img_aw", "n_media",
                      "max_depth", "t_min"))
 def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
-                 atlas=None, *, k_steps: int, moving: bool,
+                 atlas=None, sph_bounds=None, quad_bounds=None, *,
+                 k_steps: int, moving: bool,
                  has_quads: bool, has_perlin: bool = False,
                  has_images: bool = False, img_ah: int = 1,
                  img_aw: int = 1, n_media: int = 0, max_depth: int = 50,
@@ -819,8 +940,10 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
 
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
     quads24 (24, Qd) (dummy (24, TS) zeros when has_quads is False);
-    bg8 (8,) f32 from pack_bg. Returns state' (row 15 carries the
-    cumulative per-lane traced-ray counts)."""
+    bg8 (8,) f32 from pack_bg. sph_bounds/quad_bounds: optional
+    (n_tiles, 4) tile bounding spheres (pack_*_bounds) enabling
+    whole-tile culling on large scenes. Returns state' (row 15 carries
+    the cumulative per-lane traced-ray counts)."""
     q = state.shape[1]
     s_count = spheres24.shape[1]
     q_count = quads24.shape[1]
@@ -828,12 +951,19 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
 
     if atlas is None:
         atlas = jnp.zeros((8, 128), jnp.float32)
+    cull_s = sph_bounds is not None and s_count // TS >= CULL_MIN_TILES
+    cull_q = (quad_bounds is not None and has_quads
+              and q_count // TS >= CULL_MIN_TILES)
+    if sph_bounds is None:
+        sph_bounds = jnp.zeros((1, 4), jnp.float32)
+    if quad_bounds is None:
+        quad_bounds = jnp.zeros((1, 4), jnp.float32)
     kern = functools.partial(
         _bounce_megakernel, k_steps=k_steps, s_tiles=s_count // TS,
         q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
         img_aw=img_aw, n_media=n_media, t_min=t_min,
-        max_depth=float(max_depth))
+        max_depth=float(max_depth), cull_s=cull_s, cull_q=cull_q)
 
     state_out = pl.pallas_call(
         kern,
@@ -851,6 +981,8 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
             pl.BlockSpec(atlas.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((16, TN), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -860,7 +992,8 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
             bytes_accessed=4 * (2 * 16 * q + 2 * q
                                 + 24 * (s_count + q_count)),
             transcendentals=k_steps * q * 40),
-    )(state, keys, spheres24, quads24, med24, atlas, bg8)
+    )(state, keys, spheres24, quads24, med24, atlas, bg8, sph_bounds,
+      quad_bounds)
     return state_out
 
 

@@ -1,0 +1,562 @@
+"""Kernelized path-replay backward for the fused bounce megakernel.
+
+Round-1's backward pass ran on the XLA scan path at ~0.25 Mrays/s: each
+rematerialized bounce step lowers to ~26 forward + ~40 transpose fusions
+with a fixed ~1.2 ms launch overhead apiece on this TPU runtime. This
+module gives the K-step fused bounce chain a `jax.custom_vjp` whose
+backward is itself ONE Pallas launch per chain:
+
+  * forward  = the existing forward megakernel (ops.megakernel), with the
+    K input states as the only residual — the O(1)-in-depth memory of
+    path-replay backprop (SURVEY.md §5.7);
+  * backward = a replay kernel: re-run the K bounce steps from the saved
+    input state (every draw is counter-addressed, so replay is exact),
+    storing each step's state + winner ids + discrete decisions in VMEM;
+    then sweep the K steps in reverse, re-deriving each step from the
+    *winner's* packed attributes as a compact differentiable function and
+    transposing it with `jax.vjp` **inside the kernel body** (Pallas
+    kernels are traced JAX code, so reverse-mode AD composes with Mosaic).
+
+Gradient routing is TPU-native throughout: winner attributes are
+re-selected with the forward's one-hot MXU contraction, and the adjoint
+scatter into the (24, S) primitive pack is the exact transpose — another
+one-hot MXU contraction per primitive tile. The packs themselves
+(ops.megakernel.pack_*) are differentiable jnp functions of SceneArrays,
+so XLA chains d_pack -> d_sphere_c0 / d_quad_u / d_mat_fuzz / ... and
+d_state_in -> camera parameters automatically.
+
+Discrete decisions (argmin winner, chosen quadratic root, front-face,
+dielectric branch, metal absorption, checker parity, texel indices) are
+replayed and closed over as constants — detached sampling exactly as the
+XLA path does (render.py docstring).
+
+Scope: every scene the forward megakernel supports except constant media
+(`supports_backward`); media scenes fall back to the XLA scan path.
+
+Reference being replaced: the recursive `trace` of
+/root/reference/src/lib.rs:50-71, which has no backward at all.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import megakernel as mk
+from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
+                     MAT_LAMBERTIAN, MAT_METAL, SceneArrays)
+
+TN = mk.TN
+TS = mk.TS
+INF = mk.INF
+
+
+def supports_backward(scene: SceneArrays) -> bool:
+    """Kernel-vjp scope: everything the forward megakernel shades except
+    constant media (their stochastic boundary-interval sampling couples
+    the solid t_max into the decision; the XLA scan path keeps exact
+    gradients there)."""
+    return mk.supports(scene) and not scene.has_media
+
+
+# ---------------------------------------------------------------------------
+# The compact differentiable step: re-derive one bounce from the winner's
+# selected attributes. Mirrors ops.megakernel._one_bounce, but with every
+# discrete decision supplied as a replayed constant and every t/normal/
+# albedo recomputed from the winner rows (no loops -> cleanly vjp-able).
+# ---------------------------------------------------------------------------
+
+
+def _make_diff_step(c, *, moving, has_quads, has_perlin, has_images,
+                    img_ah, img_aw):
+    """Build g(*diff_ins) -> 13 continuous output rows.
+
+    c: dict of replayed constants (closure, not differentiated).
+    diff_ins order: 13 state rows (o, d, time, thr, pend), sel_s,
+    [sel_q], 6 bg rows, [atlas]."""
+
+    def g(*args):
+        (ox, oy, oz, dx, dy, dz, time, thx, thy, thz,
+         pex, pey, pez) = args[:13]
+        sel_s = args[13]
+        i = 14
+        if has_quads:
+            sel_q = args[i]
+            i += 1
+        bg6 = args[i:i + 6]
+        i += 6
+        atlas = args[i] if has_images else None
+
+        a = dx * dx + dy * dy + dz * dz
+        o_dot_d = ox * dx + oy * dy + oz * dz
+        o_dot_o = ox * ox + oy * oy + oz * oz
+        inv_a = 1.0 / a
+        d_len = jnp.sqrt(a)
+
+        # --- sphere winner t (same math as the tile loop, winner rows) --
+        if moving:
+            cxt = sel_s[0:1] + time * sel_s[4:5]
+            cyt = sel_s[1:2] + time * sel_s[5:6]
+            czt = sel_s[2:3] + time * sel_s[6:7]
+        else:
+            cxt, cyt, czt = sel_s[0:1], sel_s[1:2], sel_s[2:3]
+        d_c = dx * cxt + dy * cyt + dz * czt
+        o_c = ox * cxt + oy * cyt + oz * czt
+        c_sq = cxt * cxt + cyt * cyt + czt * czt
+        half_b = o_dot_d - d_c
+        c_coef = o_dot_o - 2.0 * o_c + c_sq - sel_s[3:4]
+        disc = half_b * half_b - a * c_coef
+        # Double-where: masked lanes (miss / quad-won) must not leak NaN
+        # through the sqrt vjp (g/(2*sqrt(0)) = NaN even with g = 0).
+        disc_ok = jax.lax.stop_gradient(disc > 0.0)
+        sq = jnp.sqrt(jnp.where(disc_ok, disc, 1.0))
+        root0 = (-half_b - sq) * inv_a
+        root1 = (-half_b + sq) * inv_a
+        # Root choice is discrete: replay picks the root the forward
+        # accepted (the one landing on the stored t).
+        pick0 = jax.lax.stop_gradient(
+            jnp.abs(root0 - c["t_hit"]) <= jnp.abs(root1 - c["t_hit"]))
+        t_sph = jnp.where(pick0, root0, root1)
+
+        # --- quad winner t ----------------------------------------------
+        if has_quads:
+            nqx, nqy, nqz = sel_q[0:1], sel_q[1:2], sel_q[2:3]
+            denom = dx * nqx + dy * nqy + dz * nqz
+            o_n = ox * nqx + oy * nqy + oz * nqz
+            not_par = jax.lax.stop_gradient(
+                jnp.abs(denom) > sel_q[12:13] * d_len)
+            t_quad = (sel_q[9:10] - o_n) / jnp.where(not_par, denom, 1.0)
+            t_hit = jnp.where(c["use_q"], t_quad, t_sph)
+        else:
+            t_hit = t_sph
+
+        t_eff = jnp.where(c["hit"], t_hit, 0.0)
+        px_ = ox + t_eff * dx
+        py_ = oy + t_eff * dy
+        pz_ = oz + t_eff * dz
+
+        # --- winner surface normal --------------------------------------
+        if moving:
+            scx = sel_s[0:1] + time * sel_s[4:5]
+            scy = sel_s[1:2] + time * sel_s[5:6]
+            scz = sel_s[2:3] + time * sel_s[6:7]
+        else:
+            scx, scy, scz = sel_s[0:1], sel_s[1:2], sel_s[2:3]
+        srad = sel_s[18:19]
+        srad_ok = jax.lax.stop_gradient(jnp.abs(srad) > 1e-20)
+        inv_r = 1.0 / jnp.where(srad_ok, srad, 1.0)
+        sonx = (px_ - scx) * inv_r
+        sony = (py_ - scy) * inv_r
+        sonz = (pz_ - scz) * inv_r
+
+        if has_quads:
+            nn = (sel_q[0:1] ** 2 + sel_q[1:2] ** 2 + sel_q[2:3] ** 2)
+            nn_ok = jax.lax.stop_gradient(nn > 1e-20)
+            qinv = jax.lax.rsqrt(jnp.where(nn_ok, nn, 1.0))
+            outx = jnp.where(c["use_q"], sel_q[0:1] * qinv, sonx)
+            outy = jnp.where(c["use_q"], sel_q[1:2] * qinv, sony)
+            outz = jnp.where(c["use_q"], sel_q[2:3] * qinv, sonz)
+            aux_v = jnp.where(c["use_q"], sel_q[15:16], sel_s[9:10])
+            c1r = jnp.where(c["use_q"], sel_q[16:17], sel_s[10:11])
+            c1g = jnp.where(c["use_q"], sel_q[17:18], sel_s[11:12])
+            c1b = jnp.where(c["use_q"], sel_q[18:19], sel_s[12:13])
+            c2r = jnp.where(c["use_q"], sel_q[19:20], sel_s[13:14])
+            c2g = jnp.where(c["use_q"], sel_q[20:21], sel_s[14:15])
+            c2b = jnp.where(c["use_q"], sel_q[21:22], sel_s[15:16])
+            texscale = jnp.where(c["use_q"], sel_q[23:24], sel_s[17:18])
+        else:
+            outx, outy, outz = sonx, sony, sonz
+            aux_v = sel_s[9:10]
+            c1r, c1g, c1b = sel_s[10:11], sel_s[11:12], sel_s[12:13]
+            c2r, c2g, c2b = sel_s[13:14], sel_s[14:15], sel_s[15:16]
+            texscale = sel_s[17:18]
+
+        sgn = jnp.where(c["front"], 1.0, -1.0)
+        nx_ = outx * sgn
+        ny_ = outy * sgn
+        nz_ = outz * sgn
+
+        # --- albedo (checker parity / texel ids replayed) ----------------
+        albr = jnp.where(c["use_c2"], c2r, c1r)
+        albg = jnp.where(c["use_c2"], c2g, c1g)
+        albb = jnp.where(c["use_c2"], c2b, c1b)
+        if has_perlin:
+            marble = 0.5 * (1.0 + jnp.sin(
+                texscale * pz_ + 10.0 * mk._turb_rows(px_, py_, pz_)))
+            albr = jnp.where(c["is_per"], marble * c1r, albr)
+            albg = jnp.where(c["is_per"], marble * c1g, albg)
+            albb = jnp.where(c["is_per"], marble * c1b, albb)
+        if has_images:
+            # Texel indices are replayed constants (nearest-neighbor
+            # lookup has zero geometric gradient, like the XLA path);
+            # the one-hot contractions keep d_atlas on the MXU.
+            iah = atlas.shape[0]
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (iah, TN), 0)
+            oh_y = (row_iota == c["img_row"]).astype(jnp.float32)
+            r_cols = jax.lax.dot_general(
+                atlas, oh_y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            x_iota = jax.lax.broadcasted_iota(jnp.int32, (img_aw, TN), 0)
+            oh_x = (x_iota == c["xi"]).astype(jnp.float32)
+            img_r = jnp.sum(r_cols[0:img_aw] * oh_x, axis=0,
+                            keepdims=True)
+            img_g = jnp.sum(r_cols[img_aw:2 * img_aw] * oh_x, axis=0,
+                            keepdims=True)
+            img_b = jnp.sum(r_cols[2 * img_aw:3 * img_aw] * oh_x, axis=0,
+                            keepdims=True)
+            albr = jnp.where(c["is_img"], img_r, albr)
+            albg = jnp.where(c["is_img"], img_g, albg)
+            albb = jnp.where(c["is_img"], img_b, albb)
+
+        # --- scatter (draws + decisions replayed) -------------------------
+        ux, uy_, uz, sx, sy, sz, _u_choice = c["draws"]
+        ldx = jnp.where(c["degen"], nx_, nx_ + ux)
+        ldy = jnp.where(c["degen"], ny_, ny_ + uy_)
+        ldz = jnp.where(c["degen"], nz_, nz_ + uz)
+
+        inv_dl = 1.0 / jnp.maximum(d_len, 1e-20)
+        udx = dx * inv_dl
+        udy = dy * inv_dl
+        udz = dz * inv_dl
+        ud_n = udx * nx_ + udy * ny_ + udz * nz_
+        rfx = udx - 2.0 * ud_n * nx_
+        rfy = udy - 2.0 * ud_n * ny_
+        rfz = udz - 2.0 * ud_n * nz_
+        mdx = rfx + aux_v * sx
+        mdy = rfy + aux_v * sy
+        mdz = rfz + aux_v * sz
+
+        # Double-where: on non-dielectric winner lanes aux_v is fuzz (may
+        # be 0) and the reciprocal branch would emit inf whose 0-cotangent
+        # product is NaN in the vjp.
+        aux_ok = jax.lax.stop_gradient(aux_v > 1e-10)
+        ratio = jnp.where(c["front"],
+                          1.0 / jnp.where(aux_ok, aux_v, 1.0), aux_v)
+        cos_t = jnp.minimum(-ud_n, 1.0)
+        rpx = ratio * (udx + cos_t * nx_)
+        rpy = ratio * (udy + cos_t * ny_)
+        rpz = ratio * (udz + cos_t * nz_)
+        rpar_sq = 1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)
+        refr_ok = jax.lax.stop_gradient(rpar_sq > 1e-12)
+        rlen = jnp.sqrt(jnp.where(refr_ok, rpar_sq, 1.0)) \
+            * refr_ok.astype(jnp.float32)
+        ddx = jnp.where(c["do_reflect"], rfx, rpx - rlen * nx_)
+        ddy = jnp.where(c["do_reflect"], rfy, rpy - rlen * ny_)
+        ddz = jnp.where(c["do_reflect"], rfz, rpz - rlen * nz_)
+
+        ndx = jnp.where(c["is_lam"], ldx,
+                        jnp.where(c["is_met"], mdx,
+                                  jnp.where(c["is_die"], ddx, sx)))
+        ndy = jnp.where(c["is_lam"], ldy,
+                        jnp.where(c["is_met"], mdy,
+                                  jnp.where(c["is_die"], ddy, sy)))
+        ndz = jnp.where(c["is_lam"], ldz,
+                        jnp.where(c["is_met"], mdz,
+                                  jnp.where(c["is_die"], ddz, sz)))
+        atr = jnp.where(c["is_die"], 1.0, albr)
+        atg = jnp.where(c["is_die"], 1.0, albg)
+        atb = jnp.where(c["is_die"], 1.0, albb)
+
+        # --- contributions ------------------------------------------------
+        inv_dl2 = jax.lax.rsqrt(jnp.maximum(a, 1e-20))
+        tsky = 0.5 * (dy * inv_dl2 + 1.0)
+        bgr = jnp.where(c["is_sky"],
+                        (1.0 - tsky) * bg6[0] + tsky * bg6[3], bg6[0])
+        bgg = jnp.where(c["is_sky"],
+                        (1.0 - tsky) * bg6[1] + tsky * bg6[4], bg6[1])
+        bgb = jnp.where(c["is_sky"],
+                        (1.0 - tsky) * bg6[2] + tsky * bg6[5], bg6[2])
+        missf = c["miss"].astype(jnp.float32)
+        lightf = (c["hit"] & c["is_light"]).astype(jnp.float32)
+        pex = pex + thx * (bgr * missf + albr * lightf)
+        pey = pey + thy * (bgg * missf + albg * lightf)
+        pez = pez + thz * (bgb * missf + albb * lightf)
+
+        sv = c["survives"]
+        ox2 = jnp.where(sv, px_, ox)
+        oy2 = jnp.where(sv, py_, oy)
+        oz2 = jnp.where(sv, pz_, oz)
+        dx2 = jnp.where(sv, ndx, dx)
+        dy2 = jnp.where(sv, ndy, dy)
+        dz2 = jnp.where(sv, ndz, dz)
+        thx2 = jnp.where(sv, thx * atr, thx)
+        thy2 = jnp.where(sv, thy * atg, thy)
+        thz2 = jnp.where(sv, thz * atb, thz)
+        return (ox2, oy2, oz2, dx2, dy2, dz2, time,
+                thx2, thy2, thz2, pex, pey, pez)
+
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
+                sb_ref, qb_ref, dso_ref, dsi_ref, dsph_ref, dquad_ref,
+                dbg_ref, datlas_ref, *, k_steps, s_tiles, q_tiles,
+                moving, has_quads, has_perlin, has_images, img_ah,
+                img_aw, t_min, max_depth, cull_s, cull_q):
+    # Grad accumulators are revisited by every (sequential) grid step:
+    # zero them once.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dsph_ref[:, :] = jnp.zeros(dsph_ref.shape, jnp.float32)
+        dquad_ref[:, :] = jnp.zeros(dquad_ref.shape, jnp.float32)
+        datlas_ref[:, :] = jnp.zeros(datlas_ref.shape, jnp.float32)
+
+    st = state_ref[:, :]
+    tile_alive = jnp.any(st[14:15] > 0.5)
+
+    @pl.when(jnp.logical_not(tile_alive))
+    def _():
+        # Dead tile: the chain was the identity, so the cotangent passes
+        # straight through.
+        dsi_ref[:, :] = dso_ref[:, :]
+        dbg_ref[:, :] = jnp.zeros(dbg_ref.shape, jnp.float32)
+
+    @pl.when(tile_alive)
+    def _():
+        _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref,
+                       bg_ref, dso_ref, dsi_ref, dsph_ref, dquad_ref,
+                       dbg_ref, datlas_ref, k_steps=k_steps,
+                       s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
+                       has_quads=has_quads, has_perlin=has_perlin,
+                       has_images=has_images, img_ah=img_ah,
+                       img_aw=img_aw, t_min=t_min, max_depth=max_depth,
+                       sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s,
+                       cull_q=cull_q)
+
+
+def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
+                   dso_ref, dsi_ref, dsph_ref, dquad_ref, dbg_ref,
+                   datlas_ref, *, k_steps, s_tiles, q_tiles, moving,
+                   has_quads, has_perlin, has_images, img_ah, img_aw,
+                   t_min, max_depth, sb_ref, qb_ref, cull_s, cull_q):
+    k0 = keys_ref[0:1, :]
+    k1 = keys_ref[1:2, :]
+
+    # --- replay: K forward steps, storing per-step state + decisions ----
+    rows = mk._unpack_rows(st)
+    states = []
+    auxes = []
+    for _k in range(k_steps):
+        states.append(rows)
+        rows, aux = mk._one_bounce(
+            rows, k0, k1, sph_ref, quad_ref, None, atlas_ref, bg_ref,
+            s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
+            has_quads=has_quads, has_perlin=has_perlin,
+            has_images=has_images, img_ah=img_ah, img_aw=img_aw,
+            n_media=0, t_min=t_min, max_depth=max_depth, want_aux=True,
+            sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
+        auxes.append(aux)
+
+    # --- reverse sweep ---------------------------------------------------
+    ds = dso_ref[:, :]
+    d_cont = [ds[i:i + 1] for i in range(13)]
+    bg6 = [jnp.full((1, TN), bg_ref[i], jnp.float32) for i in range(6)]
+    is_sky = bg_ref[6] < 0.5
+    atlas = atlas_ref[:, :] if has_images else None
+    dbg_acc = [jnp.zeros((1, TN), jnp.float32) for _ in range(6)]
+    datlas_acc = None
+
+    for k in reversed(range(k_steps)):
+        aux = auxes[k]
+        s_rows = states[k]
+        sel_s = aux["sel_s"]
+        sel_q = aux["sel_q"]
+        mtype = (jnp.where(aux["use_q"], sel_q[14:15], sel_s[8:9])
+                 if has_quads else sel_s[8:9])
+        consts = dict(
+            t_hit=aux["t_hit"], use_q=aux["use_q"], hit=aux["hit"],
+            miss=aux["miss"], survives=aux["survives"],
+            front=aux["front"], degen=aux["degen"],
+            do_reflect=aux["do_reflect"], use_c2=aux["use_c2"],
+            draws=aux["draws"], is_sky=is_sky,
+            is_lam=mtype == MAT_LAMBERTIAN,
+            is_met=mtype == MAT_METAL,
+            is_die=mtype == MAT_DIELECTRIC,
+            is_light=mtype == MAT_DIFFUSE_LIGHT)
+        if has_perlin:
+            consts["is_per"] = aux["is_per"]
+        if has_images:
+            consts["is_img"] = aux["is_img"]
+            consts["xi"] = aux["xi"]
+            consts["img_row"] = aux["img_row"]
+
+        g = _make_diff_step(consts, moving=moving, has_quads=has_quads,
+                            has_perlin=has_perlin, has_images=has_images,
+                            img_ah=img_ah, img_aw=img_aw)
+        diff_ins = list(s_rows[:13]) + [sel_s]
+        if has_quads:
+            diff_ins.append(sel_q)
+        diff_ins += bg6
+        if has_images:
+            diff_ins.append(atlas)
+
+        _, vjp_fn = jax.vjp(g, *diff_ins)
+        grads = vjp_fn(tuple(d_cont))
+
+        d_cont = list(grads[:13])
+        d_sel_s = grads[13]
+        i = 14
+        if has_quads:
+            d_sel_q = grads[i]
+            i += 1
+        for ci in range(6):
+            dbg_acc[ci] = dbg_acc[ci] + grads[i + ci]
+        i += 6
+        if has_images:
+            datlas_acc = (grads[i] if datlas_acc is None
+                          else datlas_acc + grads[i])
+
+        # Winner-attribute cotangent -> primitive pack: the transpose of
+        # the forward's one-hot selection, one MXU contraction per tile.
+        win_s = aux["win_s"].astype(jnp.int32)
+
+        def scat_s(si, _):
+            off = pl.multiple_of(si * TS, TS)
+            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, TN), 0)
+            oh = (rows_iota == (win_s - si * TS)).astype(jnp.float32)
+            dsph_ref[:, pl.ds(off, TS)] += jax.lax.dot_general(
+                d_sel_s, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            return 0
+
+        jax.lax.fori_loop(0, s_tiles, scat_s, 0)
+
+        if has_quads:
+            win_q = aux["win_q"].astype(jnp.int32)
+
+            def scat_q(qi, _):
+                off = pl.multiple_of(qi * TS, TS)
+                rows_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                                     (TS, TN), 0)
+                oh = (rows_iota == (win_q - qi * TS)).astype(jnp.float32)
+                dquad_ref[:, pl.ds(off, TS)] += jax.lax.dot_general(
+                    d_sel_q, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                return 0
+
+            jax.lax.fori_loop(0, q_tiles, scat_q, 0)
+
+    if has_images:
+        datlas_ref[:, :] += datlas_acc
+
+    zeros3 = jnp.zeros((3, TN), jnp.float32)
+    dsi_ref[:, :] = jnp.concatenate(d_cont + [zeros3], axis=0)
+    dbg_ref[:, :] = jnp.concatenate(
+        dbg_acc + [jnp.zeros((2, TN), jnp.float32)], axis=0)
+
+
+def _bwd_call(state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out, *,
+              k_steps, moving, has_quads, has_perlin, has_images,
+              img_ah, img_aw, t_min, max_depth):
+    q = state.shape[1]
+    s_count = sph24.shape[1]
+    q_count = quad24.shape[1]
+    cull_s = s_count // TS >= mk.CULL_MIN_TILES
+    cull_q = has_quads and q_count // TS >= mk.CULL_MIN_TILES
+
+    kern = functools.partial(
+        _bwd_kernel, k_steps=k_steps, s_tiles=s_count // TS,
+        q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
+        has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
+        img_aw=img_aw, t_min=t_min, max_depth=float(max_depth),
+        cull_s=cull_s, cull_q=cull_q)
+
+    grid = (q // TN,)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((16, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            acc((24, s_count)),
+            acc((24, q_count)),
+            acc(atlas.shape),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            acc((24, s_count)),
+            acc((24, q_count)),
+            pl.BlockSpec((8, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            acc(atlas.shape),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, q), jnp.float32),
+            jax.ShapeDtypeStruct((24, s_count), jnp.float32),
+            jax.ShapeDtypeStruct((24, q_count), jnp.float32),
+            jax.ShapeDtypeStruct((8, q), jnp.float32),
+            jax.ShapeDtypeStruct(atlas.shape, jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * k_steps * 40 * q * (s_count + q_count),
+            bytes_accessed=4 * (4 * 16 * q + 2 * q
+                                + 4 * 24 * (s_count + q_count)),
+            transcendentals=3 * k_steps * q * 40),
+    )(state, keys, sph24, quad24, atlas, bg8, sb, qb, d_out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp chain
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def bounce_chain(k_steps: int, moving: bool, has_quads: bool,
+                 has_perlin: bool, has_images: bool, img_ah: int,
+                 img_aw: int, max_depth: int, t_min: float):
+    """K fused bounce steps as a reverse-differentiable primitive.
+
+    Returns chain(state, keys, sph24, quad24, bg8, atlas) -> state'.
+    Forward = the forward megakernel; backward = one replay+adjoint
+    Pallas launch. Residuals are just the chain's inputs, so scanning
+    the chain gives per-K-bounce checkpointing for free."""
+
+    kwargs = dict(k_steps=k_steps, moving=moving, has_quads=has_quads,
+                  has_perlin=has_perlin, has_images=has_images,
+                  img_ah=img_ah, img_aw=img_aw, t_min=t_min,
+                  max_depth=max_depth)
+
+    @jax.custom_vjp
+    def chain(state, keys, sph24, quad24, bg8, atlas, sb, qb):
+        med24 = jnp.zeros((8, 24), jnp.float32)
+        return mk.bounce_steps(state, keys, sph24, quad24, med24, bg8,
+                               atlas, sb, qb, n_media=0, **kwargs)
+
+    def fwd(state, keys, sph24, quad24, bg8, atlas, sb, qb):
+        out = chain(state, keys, sph24, quad24, bg8, atlas, sb, qb)
+        return out, (state, keys, sph24, quad24, bg8, atlas, sb, qb)
+
+    def bwd(res, d_out):
+        state, keys, sph24, quad24, bg8, atlas, sb, qb = res
+        dsi, dsph, dquad, dbg_lanes, datlas = _bwd_call(
+            state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out,
+            **kwargs)
+        d_bg8 = jnp.sum(dbg_lanes, axis=1)
+        d_keys = np.zeros(keys.shape, jax.dtypes.float0)
+        return (dsi, d_keys, dsph, dquad, d_bg8, datlas,
+                jnp.zeros_like(sb), jnp.zeros_like(qb))
+
+    chain.defvjp(fwd, bwd)
+    return chain

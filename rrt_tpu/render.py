@@ -153,13 +153,58 @@ def _bounce_body(scene, t_min, keys, carry, bounce, max_depth,
     return (new_o, new_d, time, throughput, radiance, survives, n_traced)
 
 
+def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
+                      max_depth: int, t_min: float,
+                      k_steps: int = 4):
+    """Reverse-differentiable trace through the fused bounce chain.
+
+    Scans ceil((max_depth+1)/k_steps) custom_vjp megakernel chains
+    (ops.megakernel_vjp): forward is K fused bounce steps per Pallas
+    launch, backward is one replay+adjoint launch per chain — per-chain
+    checkpointing with only the (16, Q) state as residual. Requires a
+    TPU backend, a TN-aligned batch, and mkv.supports_backward(scene).
+    """
+    from .ops import megakernel_vjp as mkv
+
+    n = o.x.shape[0]
+    sph24 = ops_mega.pack_spheres_full(scene)
+    quad24 = (ops_mega.pack_quads_full(scene) if scene.has_quads
+              else jnp.zeros((24, ops_mega.TS), jnp.float32))
+    bg8 = ops_mega.pack_bg(scene)
+    atlas = (ops_mega.pack_atlas(scene) if scene.has_images
+             else jnp.zeros((8, 128), jnp.float32))
+    sb = ops_mega.pack_sphere_bounds(scene)
+    qb = (ops_mega.pack_quad_bounds(scene) if scene.has_quads
+          else jnp.zeros((1, 4), jnp.float32))
+    chain = mkv.bounce_chain(
+        k_steps, scene.has_moving, scene.has_quads, scene.has_perlin,
+        scene.has_images, scene.images.shape[1], scene.images.shape[2],
+        max_depth, t_min)
+
+    st0 = ops_mega.pack_state(
+        o, d, time, V3.ones((n,)), V3.zeros((n,)),
+        jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool),
+        jnp.zeros((n,), jnp.float32))
+    n_outer = -(-(max_depth + 1) // k_steps)
+
+    def body(st, _):
+        return chain(st, keys, sph24, quad24, bg8, atlas, sb, qb), None
+
+    st, _ = jax.lax.scan(body, st0, None, length=n_outer)
+    _, _, _, _, pend, _, _, traced = ops_mega.unpack_state(st)
+    return pend, jnp.sum(traced)
+
+
 def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,
                 max_depth: int, t_min: float, differentiable: bool,
-                packed=None):
+                packed=None, fused_vjp: bool = False):
     """Trace a fixed ray batch to completion.
 
     keys: (N,2) per-lane sample key words (rng.sample_keys).
     Returns (radiance V3, n_traced ())."""
+    if differentiable and fused_vjp:
+        return trace_batch_fused(scene, o, d, time, keys, max_depth,
+                                 t_min)
     n = o.x.shape[0]
     carry0 = (o, d, time,
               V3.ones((n,)),  # throughput
@@ -241,6 +286,9 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         atlas_mk = (ops_mega.pack_atlas(scene) if scene.has_images
                     else None)
         img_ah, img_aw = scene.images.shape[1], scene.images.shape[2]
+        sb_mk = ops_mega.pack_sphere_bounds(scene)
+        qb_mk = (ops_mega.pack_quad_bounds(scene) if scene.has_quads
+                 else None)
 
     ones_q = jnp.ones((q,), jnp.float32)
     zeros_q = jnp.zeros((q,), jnp.float32)
@@ -302,7 +350,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
             st, keys, pix, next_s, acc = state
             st = ops_mega.bounce_steps(
                 st, keys, sph24, quad24, med24, bg8, atlas_mk,
-                k_steps=k_steps,
+                sb_mk, qb_mk, k_steps=k_steps,
                 moving=scene.has_moving, has_quads=scene.has_quads,
                 has_perlin=scene.has_perlin,
                 has_images=scene.has_images, img_ah=img_ah,
@@ -352,12 +400,18 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
     pyr = jnp.tile(py, spc)
     gid = (pyr * cfg.width + pxr).astype(jnp.uint32)
     replica = jnp.repeat(jnp.arange(spc, dtype=jnp.uint32), p_count)
-    # The fused intersect kernel needs TN-aligned batches and a TPU.
+    # The fused kernels need TN-aligned batches and a TPU.
     n_rays_tile = p_count * spc
+    on_tpu = jax.default_backend() == "tpu"
+    aligned = n_rays_tile % ops_mega.TN == 0
     packed = pack_scene(scene) if (
-        cfg.use_pallas and not differentiable
-        and jax.default_backend() == "tpu"
-        and n_rays_tile % ops_mega.TN == 0) else None
+        cfg.use_pallas and not differentiable and on_tpu
+        and aligned) else None
+    # Differentiable fast path: fused fwd megakernel + replay-adjoint
+    # backward kernel (ops.megakernel_vjp), when in scope.
+    from .ops import megakernel_vjp as mkv
+    fused_vjp = (differentiable and cfg.use_megakernel and on_tpu
+                 and aligned and mkv.supports_backward(scene))
 
     def one_pass(pass_i):
         samp = (jnp.uint32(pass_start) + pass_i.astype(jnp.uint32)) \
@@ -367,7 +421,8 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
                                  keys)
         radiance, n_traced = trace_batch(scene, o, d, tm, keys,
                                          cfg.max_depth, cfg.t_min,
-                                         differentiable, packed=packed)
+                                         differentiable, packed=packed,
+                                         fused_vjp=fused_vjp)
         rad = jnp.stack([radiance.x, radiance.y, radiance.z], axis=-1)
         return jnp.sum(rad.reshape(spc, p_count, 3), axis=0), n_traced
 

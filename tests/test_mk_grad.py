@@ -1,0 +1,126 @@
+"""Fused-chain backward (ops.megakernel_vjp) vs the XLA scan path.
+
+The custom_vjp bounce chain must produce the same forward radiance and
+the same gradients (scene params + camera) as trace_batch's
+rematerialized scan, which is itself FD-verified in test_grad.py. Runs
+in Pallas interpret mode on CPU."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import rrt_tpu.ops.megakernel as mk
+import rrt_tpu.ops.megakernel_vjp as mkv
+from rrt_tpu import rng
+from rrt_tpu.camera import generate_rays
+from rrt_tpu.diff import combine, partition
+from rrt_tpu.render import trace_batch, trace_batch_fused
+from rrt_tpu.scenes import (book2chap2_scene, chap12_scene,
+                            cornell_box_scene, earth_scene)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mk.pl, "pallas_call", interp)
+    monkeypatch.setattr(mkv.pl, "pallas_call", interp)
+
+
+def _compare(scene, cam, w, h, max_depth=3, k_steps=2, n=512,
+             rtol=2e-3):
+    ids = jnp.arange(n, dtype=jnp.int32)
+    px, py = ids % w, (ids // w) % h
+    keys = rng.sample_keys(jax.random.key(0),
+                           (py * w + px).astype(jnp.uint32), 0)
+    weight = jnp.sin(jnp.arange(n) * 0.1)
+
+    def make_loss(fused):
+        def loss(params, camera):
+            s = combine(scene, params)
+            o, d, tm = generate_rays(camera, px, py, w, h, keys)
+            if fused:
+                rad, _ = trace_batch_fused(s, o, d, tm, keys, max_depth,
+                                           1e-3, k_steps=k_steps)
+            else:
+                rad, _ = trace_batch(s, o, d, tm, keys, max_depth, 1e-3,
+                                     differentiable=True)
+            return jnp.sum(weight * (rad.x + 0.7 * rad.y + 0.3 * rad.z))
+
+        return loss
+
+    params = partition(scene)
+    lf, ls = make_loss(True), make_loss(False)
+    vf, vs = float(lf(params, cam)), float(ls(params, cam))
+    assert vf == pytest.approx(vs, rel=1e-5), (vf, vs)
+
+    gfp, gfc = jax.grad(lf, argnums=(0, 1))(params, cam)
+    gsp, gsc = jax.grad(ls, argnums=(0, 1))(params, cam)
+    for k in sorted(gsp):
+        a, b = np.asarray(gfp[k]), np.asarray(gsp[k])
+        assert np.isfinite(a).all(), f"nonfinite fused grad for {k}"
+        scale = max(np.abs(b).max(), 1e-4)
+        np.testing.assert_allclose(a, b, atol=rtol * scale,
+                                   err_msg=f"param {k}")
+    for f in dataclasses.fields(gsc):
+        a = np.asarray(getattr(gfc, f.name))
+        b = np.asarray(getattr(gsc, f.name))
+        scale = max(np.abs(b).max(), 1e-4)
+        np.testing.assert_allclose(a, b, atol=5e-3 * scale,
+                                   err_msg=f"camera {f.name}")
+
+
+def test_chain_grads_chap12():
+    scene, cam = chap12_scene(32, 18)
+    assert mkv.supports_backward(scene)
+    _compare(scene, cam, 32, 18)
+
+
+def test_chain_grads_cornell_quads_emissive():
+    scene, cam = cornell_box_scene(32, 32)
+    assert mkv.supports_backward(scene)
+    _compare(scene, cam, 32, 32)
+
+
+def test_chain_grads_moving_spheres():
+    scene, cam = book2chap2_scene(32, 18)
+    assert mkv.supports_backward(scene)
+    _compare(scene, cam, 32, 18)
+
+
+def test_chain_grads_image_texture():
+    scene, cam = earth_scene(32, 18)
+    assert mkv.supports_backward(scene)
+    _compare(scene, cam, 32, 18)
+
+
+def test_media_scene_out_of_scope():
+    from rrt_tpu.scenes import cornell_smoke_scene
+    scene, _ = cornell_smoke_scene(16, 16)
+    assert not mkv.supports_backward(scene)
+
+
+def test_chain_forward_matches_nondiff():
+    """The chain's primal must equal the plain forward megakernel."""
+    scene, cam = chap12_scene(32, 18)
+    n = 512
+    ids = jnp.arange(n, dtype=jnp.int32)
+    px, py = ids % 32, (ids // 32) % 18
+    keys = rng.sample_keys(jax.random.key(3),
+                           (py * 32 + px).astype(jnp.uint32), 0)
+    o, d, tm = generate_rays(cam, px, py, 32, 18, keys)
+    rad, ntr = trace_batch_fused(scene, o, d, tm, keys, 4, 1e-3,
+                                 k_steps=2)
+    rad2, ntr2 = trace_batch(scene, o, d, tm, keys, 4, 1e-3,
+                             differentiable=False)
+    np.testing.assert_allclose(np.asarray(rad.x), np.asarray(rad2.x),
+                               atol=2e-4)
+    assert float(ntr) == float(ntr2)
