@@ -22,8 +22,8 @@ from rrt_tpu.scenes import (chap11_scene, chap12_scene, cornell_box_scene,
 MAX_DEPTH = 8
 
 
-def _compare(scene, cam, n_rays=96, width=32, height=18, seed=7,
-             min_match=0.93, atol=2e-2):
+def _compare(scene, cam, n_rays=192, width=32, height=18, seed=7,
+             min_match=0.99, atol=2e-3, rel=0.01):
     seed_key = jax.random.key(seed)
     ids = jnp.arange(n_rays, dtype=jnp.int32)
     px = ids % width
@@ -49,7 +49,7 @@ def _compare(scene, cam, n_rays=96, width=32, height=18, seed=7,
                          MAX_DEPTH) for i in range(n_rays)])
 
     close = np.all(np.abs(radiance - expected) <= atol
-                   + 0.05 * np.abs(expected), axis=-1)
+                   + rel * np.abs(expected), axis=-1)
     frac = float(np.mean(close))
     assert frac >= min_match, (
         f"only {frac:.2%} of rays match golden; worst err "

@@ -139,3 +139,50 @@ def test_megakernel_rttnw_final_supported():
     scene, cam = rttnw_final_scene(32, 18)
     assert mk.supports(scene)  # images only on spheres
     _one_step(scene, cam, 32, 18, n=512)
+
+
+def test_megakernel_multi_step():
+    """K=3 fused steps must equal three iterated XLA bounce steps
+    (dead-lane write-through, bounce counters, per-lane traced counts)."""
+    scene, cam = cornell_box_scene(32, 32)
+    n = 512
+    ids = jnp.arange(n, dtype=jnp.int32)
+    px, py = ids % 32, (ids // 32) % 32
+    keys = rng.sample_keys(jax.random.key(1),
+                           (py * 32 + px).astype(jnp.uint32), 0)
+    o, d, tm = generate_rays(cam, px, py, 32, 32, keys)
+
+    # XLA reference: iterate the queue driver's bounce update 3 times.
+    thr, pend = V3.ones((n,)), V3.zeros((n,))
+    alive = jnp.ones((n,), bool)
+    bounce = jnp.zeros((n,), jnp.int32)
+    traced = jnp.zeros((n,))
+    for _ in range(3):
+        contrib, o2, d2, att, sv = _shade(scene, o, d, tm, keys, bounce,
+                                          alive, 1e-3, 50, packed=None)
+        pend = pend + thr * contrib
+        thr = V3.where(sv, thr * att, thr)
+        bounce = bounce + sv.astype(jnp.int32)
+        traced = traced + alive.astype(jnp.float32)
+        o, d, alive = o2, d2, sv
+
+    o0, d0, tm0 = generate_rays(cam, px, py, 32, 32, keys)
+    st = mk.pack_state(o0, d0, tm0, V3.ones((n,)), V3.zeros((n,)),
+                       jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool),
+                       jnp.zeros((n,)))
+    st2 = mk.bounce_steps(
+        st, keys, mk.pack_spheres_full(scene), mk.pack_quads_full(scene),
+        mk.pack_media(scene), mk.pack_bg(scene), k_steps=3,
+        moving=scene.has_moving, has_quads=True, n_media=0, max_depth=50,
+        t_min=1e-3)
+    _, _, _, thr2, pend2, bounce2, alive2, traced2 = mk.unpack_state(st2)
+
+    np.testing.assert_array_equal(np.asarray(traced2), np.asarray(traced))
+    agree = np.asarray(alive2) == np.asarray(alive)
+    assert agree.mean() > 0.98  # near-tie winner flips only
+    assert (np.asarray(bounce2) == np.asarray(bounce))[agree].all()
+    for got, exp in ((pend2.x, pend.x), (pend2.y, pend.y),
+                     (pend2.z, pend.z), (thr2.x, thr.x), (thr2.y, thr.y),
+                     (thr2.z, thr.z)):
+        close = (np.abs(np.asarray(got) - np.asarray(exp)) < 1e-3)[agree]
+        assert close.mean() > 0.97, close.mean()
