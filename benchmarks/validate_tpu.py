@@ -1,5 +1,6 @@
 """TPU validation sweep: megakernel vs XLA queue images on every
-kernel-capable scene + XLA-only scenes sanity."""
+kernel-capable scene (earth exercises the in-kernel image atlas;
+rttnw_final the full feature set + whole-tile culling)."""
 import os, time, sys
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache"
 import jax, jax.numpy as jnp, numpy as np
@@ -9,7 +10,10 @@ from rrt_tpu.render import render_image_queue, RenderConfig
 from rrt_tpu.scenes import SCENES
 
 W, H, SPP = 200, 150, 8
-for name in ("cornell_smoke",):
+names = sys.argv[1:] or ("diffuse", "chap12", "book2chap2",
+                         "simple_light", "cornell", "cornell_smoke",
+                         "earth", "rttnw_final")
+for name in names:
     scene, cam = SCENES[name](W, H)
     cfg_m = RenderConfig(width=W, height=H, spp=SPP, max_depth=20,
                          queue_size=32768, use_megakernel=True)

@@ -409,15 +409,34 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       moving, has_quads, has_perlin, has_images, img_ah,
                       img_aw, n_media, t_min, max_depth, sb_ref=None,
                       qb_ref=None, cull_s=False, cull_q=False):
-    rows = _unpack_rows(st)
-    for _step in range(k_steps):
-        rows, _ = _one_bounce(
+    # fori_loop over steps (kernel size independent of K) with a
+    # whole-tile alive check per step: once every lane in the tile has
+    # died, the remaining steps cost one scalar branch each — so a
+    # single launch can cover the full depth-50 chain and the compute
+    # scales with the tile's longest actual path, not with K.
+    # The loop carry keeps the alive row as f32: an i1 vector carried
+    # through scf.for trips a Mosaic roll/unroll layout bug (i1 rows are
+    # re-vectorized as (8,128,32) masks that arith.select can't take).
+    def live(rows_f):
+        rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
+        rows2, _ = _one_bounce(
             rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref, bg_ref,
             s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
             has_quads=has_quads, has_perlin=has_perlin,
             has_images=has_images, img_ah=img_ah, img_aw=img_aw,
             n_media=n_media, t_min=t_min, max_depth=max_depth,
             sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
+        return rows2[:14] + (rows2[14].astype(jnp.float32),) + rows2[15:]
+
+    def step(_k, rows_f):
+        return jax.lax.cond(jnp.any(rows_f[14] > 0.5), live,
+                            lambda r: r, rows_f)
+
+    rows0 = _unpack_rows(st)
+    rows_f = jax.lax.fori_loop(
+        0, k_steps, step,
+        rows0[:14] + (rows0[14].astype(jnp.float32),) + rows0[15:])
+    rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
     state_out_ref[:, :] = _pack_rows(rows)
 
 
