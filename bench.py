@@ -1,17 +1,25 @@
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
 Metric (BASELINE.json): Mrays/s/chip fwd+bwd on the RTIOW final scene
-(chap12). Forward is the compacted-queue renderer at 1200x800; backward is
-the rematerialized scan path on a representative tile batch. The combined
-number is total rays traced (fwd pass + fwd-of-bwd replay) / wall time.
+(chap12). Forward is the compacted-queue renderer at 1200x800; backward
+is the fused custom_vjp train step (ops.megakernel_vjp) at full depth
+50 on a 262k-ray batch. The combined number is total rays traced
+(fwd pass + backward's replay, counted 2x for replay+adjoint) over the
+combined median wall time.
 
-The reference publishes no numbers (SURVEY.md §6), so vs_baseline is
-reported against the baseline recorded in BASELINE.md (1.0 when this run
-*is* the baseline).
+Statistical contract (VERDICT r1 #7, mirroring the role of the
+reference's criterion harness /root/reference/benches/benchmark.rs:38-42):
+every timing is the median of N_ITERS post-warmup iterations with the
+min/max spread reported, and scene construction is timed separately
+(the analog of the reference's `chap12_scene` bench,
+benches/benchmark.rs:29-36).
+
+vs_baseline compares against the round-1 record in BASELINE.md (12.9).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,65 +29,83 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import jax
 import jax.numpy as jnp
 
+N_ITERS = 5
+
+
+def _timed(fn, sync):
+    """Median + spread of N_ITERS runs of fn() (hard-synced by sync)."""
+    ts = []
+    for _ in range(N_ITERS):
+        t0 = time.time()
+        sync(fn())
+        ts.append(time.time() - t0)
+    return statistics.median(ts), min(ts), max(ts)
+
 
 def main():
     import rrt_tpu
     from rrt_tpu import rng
     from rrt_tpu.camera import generate_rays
-    from rrt_tpu.render import (RenderConfig, render_image_queue,
-                                trace_batch)
+    from rrt_tpu.diff import combine, partition
+    from rrt_tpu.render import RenderConfig, render_image_queue, trace_batch
     from rrt_tpu.scenes import chap12_scene
 
     width, height, spp = 1200, 800, 8
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=50,
                        queue_size=131072, bounces_per_refill=4,
                        use_megakernel=True)
+
+    # --- scene construction (host) --------------------------------------
+    t0 = time.time()
     scene, cam = chap12_scene(width, height)
+    build_s = time.time() - t0
 
     # --- forward: full image through the queue driver -------------------
-    for _ in range(2):  # warm: compile + first dispatch, hard-synced
-        img, n_fwd = render_image_queue(scene, cam, cfg, 0)
-        _ = float(img[0, 0, 0])
-    t0 = time.time()
-    img, n_fwd = render_image_queue(scene, cam, cfg, 0)
-    _ = float(img[0, 0, 0])  # hard sync (block_until_ready can be lazy
-    # through the tunnel runtime)
-    fwd_s = time.time() - t0
+    def fwd():
+        return render_image_queue(scene, cam, cfg, 0)
+
+    def sync_img(out):
+        img, n = out
+        float(img[0, 0, 0])  # hard sync (block_until_ready can be lazy
+        return out           # through the tunnel runtime)
+
+    img, n_fwd = sync_img(fwd())  # compile + warm
+    sync_img(fwd())
     fwd_rays = float(n_fwd)
+    fwd_med, fwd_min, fwd_max = _timed(fwd, sync_img)
 
-    # --- backward: grad of an MSE loss through the scan path ------------
-    from rrt_tpu.diff import partition, combine
-
-    n_tile = 65536
-    ids = jnp.arange(n_tile, dtype=jnp.int32) * (width * height // 65536)
+    # --- backward: fused custom_vjp train step, full depth 50 -----------
+    n_tile = 262144
+    ids = jnp.arange(n_tile, dtype=jnp.int32) * (width * height // n_tile)
     px, py = ids % width, (ids // width) % height
     gid = (py * width + px).astype(jnp.uint32)
     keys = rng.sample_keys(jax.random.key(0), gid, 0)
-    bwd_depth = 16
+    bwd_depth = cfg.max_depth
 
     def loss_fn(params):
         s = combine(scene, params)
         o, d, tm = generate_rays(cam, px, py, width, height, keys)
         rad, n = trace_batch(s, o, d, tm, keys, bwd_depth, 1e-3,
-                             differentiable=True)
+                             differentiable=True, fused_vjp=True)
         return (jnp.mean(rad.x) + jnp.mean(rad.y) + jnp.mean(rad.z)), n
 
     grad_fn = jax.jit(jax.grad(lambda p: loss_fn(p)[0]))
     count_fn = jax.jit(lambda p: loss_fn(p)[1])
     params = partition(scene)
-    g = grad_fn(params)
-    jax.block_until_ready(g)  # compile
+    jax.block_until_ready(grad_fn(params))  # compile
     n_bwd_rays = float(count_fn(params))
-    t0 = time.time()
-    g = grad_fn(params)
-    jax.block_until_ready(g)
-    bwd_s = time.time() - t0
+
+    def sync_tree(g):
+        jax.block_until_ready(g)
+        float(jax.tree_util.tree_leaves(g)[0].ravel()[0])
+        return g
+
+    bwd_med, bwd_min, bwd_max = _timed(lambda: grad_fn(params), sync_tree)
 
     # fwd+bwd Mrays/s: rays traced in forward plus the backward's
-    # forward-replay rays, over the combined wall time.
-    total_rays = fwd_rays + 2.0 * n_bwd_rays  # bwd = fwd trace + replay
-    total_s = fwd_s + bwd_s
-    mrays = total_rays / total_s / 1e6
+    # replay+adjoint rays, over the combined median wall time.
+    total_rays = fwd_rays + 2.0 * n_bwd_rays
+    mrays = total_rays / (fwd_med + bwd_med) / 1e6
 
     baseline = None
     try:
@@ -98,9 +124,15 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
         "detail": {
-            "fwd_mrays_per_s": round(fwd_rays / fwd_s / 1e6, 2),
-            "fwd_s": round(fwd_s, 2),
-            "bwd_s": round(bwd_s, 2),
+            "iters": N_ITERS,
+            "fwd_mrays_per_s": round(fwd_rays / fwd_med / 1e6, 2),
+            "fwd_s_median": round(fwd_med, 3),
+            "fwd_s_spread": [round(fwd_min, 3), round(fwd_max, 3)],
+            "bwd_alone_mrays_per_s": round(n_bwd_rays / bwd_med / 1e6, 2),
+            "bwd_depth": bwd_depth,
+            "bwd_step_s_median": round(bwd_med, 3),
+            "bwd_s_spread": [round(bwd_min, 3), round(bwd_max, 3)],
+            "scene_build_s": round(build_s, 3),
             "fwd_rays": fwd_rays,
             "bwd_rays": n_bwd_rays,
             "backend": jax.default_backend(),

@@ -299,9 +299,9 @@ def _make_diff_step(c, *, moving, has_quads, has_perlin, has_images,
 
 def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
                 sb_ref, qb_ref, dso_ref, dsi_ref, dsph_ref, dquad_ref,
-                dbg_ref, datlas_ref, *, k_steps, s_tiles, q_tiles,
-                moving, has_quads, has_perlin, has_images, img_ah,
-                img_aw, t_min, max_depth, cull_s, cull_q):
+                dbg_ref, datlas_ref, states_ref, *, k_steps, s_tiles,
+                q_tiles, moving, has_quads, has_perlin, has_images,
+                img_ah, img_aw, t_min, max_depth, cull_s, cull_q):
     # Grad accumulators are revisited by every (sequential) grid step:
     # zero them once.
     @pl.when(pl.program_id(0) == 0)
@@ -324,7 +324,7 @@ def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
     def _():
         _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref,
                        bg_ref, dso_ref, dsi_ref, dsph_ref, dquad_ref,
-                       dbg_ref, datlas_ref, k_steps=k_steps,
+                       dbg_ref, datlas_ref, states_ref, k_steps=k_steps,
                        s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
                        has_quads=has_quads, has_perlin=has_perlin,
                        has_images=has_images, img_ah=img_ah,
@@ -335,39 +335,66 @@ def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
 
 def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
                    dso_ref, dsi_ref, dsph_ref, dquad_ref, dbg_ref,
-                   datlas_ref, *, k_steps, s_tiles, q_tiles, moving,
-                   has_quads, has_perlin, has_images, img_ah, img_aw,
-                   t_min, max_depth, sb_ref, qb_ref, cull_s, cull_q):
+                   datlas_ref, states_ref, *, k_steps, s_tiles, q_tiles,
+                   moving, has_quads, has_perlin, has_images, img_ah,
+                   img_aw, t_min, max_depth, sb_ref, qb_ref, cull_s,
+                   cull_q):
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
+    bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
+              has_quads=has_quads, has_perlin=has_perlin,
+              has_images=has_images, img_ah=img_ah, img_aw=img_aw,
+              n_media=0, t_min=t_min, max_depth=max_depth, sb_ref=sb_ref,
+              qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
 
-    # --- replay: K forward steps, storing per-step state + decisions ----
-    rows = mk._unpack_rows(st)
-    states = []
-    auxes = []
-    for _k in range(k_steps):
-        states.append(rows)
-        rows, aux = mk._one_bounce(
-            rows, k0, k1, sph_ref, quad_ref, None, atlas_ref, bg_ref,
-            s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
-            has_quads=has_quads, has_perlin=has_perlin,
-            has_images=has_images, img_ah=img_ah, img_aw=img_aw,
-            n_media=0, t_min=t_min, max_depth=max_depth, want_aux=True,
-            sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
-        auxes.append(aux)
+    # --- replay: fori_loop over the K steps (kernel size independent of
+    # K), spilling each step's input state to a VMEM scratch so the
+    # reverse sweep can re-derive the step's decisions. Once the tile is
+    # fully dead the remaining steps cost one scalar branch each, and
+    # n_live records how many steps actually ran — the reverse sweep
+    # visits only those, so backward compute scales with the tile's
+    # longest actual path, not with K.
+    rows0 = mk._unpack_rows(st)
+    # f32 alive row in the loop carry: an i1 vector carried through
+    # scf.for trips a Mosaic roll/unroll layout bug.
+    rows0_f = rows0[:14] + (rows0[14].astype(jnp.float32),) + rows0[15:]
 
-    # --- reverse sweep ---------------------------------------------------
+    def replay_step(k, carry):
+        rows_f, n_live = carry
+        states_ref[pl.ds(pl.multiple_of(k * 16, 16), 16), :] = \
+            jnp.concatenate(rows_f, axis=0)
+        step_alive = jnp.any(rows_f[14] > 0.5)
+
+        def live(rf):
+            rows = rf[:14] + (rf[14] > 0.5,) + rf[15:]
+            rows2, _ = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref,
+                                      None, atlas_ref, bg_ref, **bk)
+            return rows2[:14] + (rows2[14].astype(jnp.float32),) \
+                + rows2[15:]
+
+        rows_f = jax.lax.cond(step_alive, live, lambda r: r, rows_f)
+        return rows_f, n_live + step_alive.astype(jnp.int32)
+
+    _, n_live = jax.lax.fori_loop(
+        0, k_steps, replay_step, (rows0_f, jnp.zeros((), jnp.int32)))
+
+    # --- reverse sweep over the n_live executed steps --------------------
     ds = dso_ref[:, :]
-    d_cont = [ds[i:i + 1] for i in range(13)]
-    bg6 = [jnp.full((1, TN), bg_ref[i], jnp.float32) for i in range(6)]
+    bg6 = tuple(jnp.full((1, TN), bg_ref[i], jnp.float32)
+                for i in range(6))
     is_sky = bg_ref[6] < 0.5
     atlas = atlas_ref[:, :] if has_images else None
-    dbg_acc = [jnp.zeros((1, TN), jnp.float32) for _ in range(6)]
-    datlas_acc = None
+    carry0 = tuple(ds[i:i + 1] for i in range(13)) \
+        + tuple(jnp.zeros((1, TN), jnp.float32) for _ in range(6))
+    if has_images:
+        carry0 = carry0 + (jnp.zeros(atlas.shape, jnp.float32),)
 
-    for k in reversed(range(k_steps)):
-        aux = auxes[k]
-        s_rows = states[k]
+    def rev_step(i, carry):
+        k = k_steps - 1 - i
+        st_k = states_ref[pl.ds(pl.multiple_of(k * 16, 16), 16), :]
+        s_rows = mk._unpack_rows(st_k)
+        _, aux = mk._one_bounce(s_rows, k0, k1, sph_ref, quad_ref, None,
+                                atlas_ref, bg_ref, want_aux=True, **bk)
         sel_s = aux["sel_s"]
         sel_q = aux["sel_q"]
         mtype = (jnp.where(aux["use_q"], sel_q[14:15], sel_s[8:9])
@@ -395,25 +422,25 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
         diff_ins = list(s_rows[:13]) + [sel_s]
         if has_quads:
             diff_ins.append(sel_q)
-        diff_ins += bg6
+        diff_ins += list(bg6)
         if has_images:
             diff_ins.append(atlas)
 
         _, vjp_fn = jax.vjp(g, *diff_ins)
-        grads = vjp_fn(tuple(d_cont))
+        grads = vjp_fn(tuple(carry[:13]))
 
-        d_cont = list(grads[:13])
+        d_cont = tuple(grads[:13])
         d_sel_s = grads[13]
-        i = 14
+        gi = 14
         if has_quads:
-            d_sel_q = grads[i]
-            i += 1
-        for ci in range(6):
-            dbg_acc[ci] = dbg_acc[ci] + grads[i + ci]
-        i += 6
+            d_sel_q = grads[gi]
+            gi += 1
+        dbg_new = tuple(carry[13 + ci] + grads[gi + ci]
+                        for ci in range(6))
+        gi += 6
+        out = d_cont + dbg_new
         if has_images:
-            datlas_acc = (grads[i] if datlas_acc is None
-                          else datlas_acc + grads[i])
+            out = out + (carry[19] + grads[gi],)
 
         # Winner-attribute cotangent -> primitive pack: the transpose of
         # the forward's one-hot selection, one MXU contraction per tile.
@@ -446,14 +473,17 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
                 return 0
 
             jax.lax.fori_loop(0, q_tiles, scat_q, 0)
+        return out
+
+    carry = jax.lax.fori_loop(k_steps - n_live, k_steps, rev_step, carry0)
 
     if has_images:
-        datlas_ref[:, :] += datlas_acc
+        datlas_ref[:, :] += carry[19]
 
     zeros3 = jnp.zeros((3, TN), jnp.float32)
-    dsi_ref[:, :] = jnp.concatenate(d_cont + [zeros3], axis=0)
+    dsi_ref[:, :] = jnp.concatenate(list(carry[:13]) + [zeros3], axis=0)
     dbg_ref[:, :] = jnp.concatenate(
-        dbg_acc + [jnp.zeros((2, TN), jnp.float32)], axis=0)
+        list(carry[13:19]) + [jnp.zeros((2, TN), jnp.float32)], axis=0)
 
 
 def _bwd_call(state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out, *,
@@ -508,6 +538,7 @@ def _bwd_call(state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out, *,
             jax.ShapeDtypeStruct((8, q), jnp.float32),
             jax.ShapeDtypeStruct(atlas.shape, jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((k_steps * 16, TN), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=3 * k_steps * 40 * q * (s_count + q_count),
             bytes_accessed=4 * (4 * 16 * q + 2 * q

@@ -153,18 +153,59 @@ def _bounce_body(scene, t_min, keys, carry, bounce, max_depth,
     return (new_o, new_d, time, throughput, radiance, survives, n_traced)
 
 
+def _fused_schedule(max_depth: int):
+    """Chain lengths between compaction passes.
+
+    The survival probability per bounce is ~0.65 on the books' scenes,
+    so after 4 steps ~18% of lanes remain and after 8 ~3%: compacting
+    there repacks survivors into dense ray tiles, after which one long
+    chain rides the kernel's per-step whole-tile alive skip for the
+    straggler tail (E[tile-steps] ~ ln TN / ln(1/p))."""
+    steps = max_depth + 1
+    schedule = []
+    for k in (4, 4):
+        if steps > k + 4:
+            schedule.append(k)
+            steps -= k
+    schedule.append(steps)
+    return tuple(schedule)
+
+
+def _compact_lanes(st, keys, lane):
+    """Stable alive-first permutation of the packed queue state.
+
+    Indices derive from the (detached) alive row, so the permutation is
+    a constant linear op under AD: the vjp of each take is the inverse
+    scatter — gradient routing through compaction is exact and free."""
+    q = lane.shape[0]
+    alive = st[14] > 0.5
+    ca = jnp.cumsum(alive.astype(jnp.int32))
+    na = ca[-1]
+    i = jnp.arange(q, dtype=jnp.int32)
+    pos = jnp.where(alive, ca - 1, na + i - ca)
+    perm = jnp.zeros((q,), jnp.int32).at[pos].set(i, mode="drop")
+    return (jnp.take(st, perm, axis=1), jnp.take(keys, perm, axis=1),
+            jnp.take(lane, perm))
+
+
 def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
                       max_depth: int, t_min: float,
-                      k_steps: int = 4):
+                      schedule: tuple | None = None):
     """Reverse-differentiable trace through the fused bounce chain.
 
-    Scans ceil((max_depth+1)/k_steps) custom_vjp megakernel chains
-    (ops.megakernel_vjp): forward is K fused bounce steps per Pallas
-    launch, backward is one replay+adjoint launch per chain — per-chain
-    checkpointing with only the (16, Q) state as residual. Requires a
+    The (max_depth+1)-bounce path runs as a few custom_vjp megakernel
+    chains (ops.megakernel_vjp) with differentiable stream compaction
+    between them (_compact_lanes): forward is one Pallas launch per
+    chain (fori_loop over steps with whole-tile alive skip), backward
+    is one replay+adjoint launch per chain whose reverse sweep visits
+    only the steps each ray tile actually ran — path-replay backprop
+    with only each chain's (16, Q) input state as residual. Requires a
     TPU backend, a TN-aligned batch, and mkv.supports_backward(scene).
     """
     from .ops import megakernel_vjp as mkv
+
+    if schedule is None:
+        schedule = _fused_schedule(max_depth)
 
     n = o.x.shape[0]
     sph24 = ops_mega.pack_spheres_full(scene)
@@ -176,23 +217,29 @@ def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
     sb = ops_mega.pack_sphere_bounds(scene)
     qb = (ops_mega.pack_quad_bounds(scene) if scene.has_quads
           else jnp.zeros((1, 4), jnp.float32))
-    chain = mkv.bounce_chain(
-        k_steps, scene.has_moving, scene.has_quads, scene.has_perlin,
-        scene.has_images, scene.images.shape[1], scene.images.shape[2],
-        max_depth, t_min)
 
-    st0 = ops_mega.pack_state(
+    st = ops_mega.pack_state(
         o, d, time, V3.ones((n,)), V3.zeros((n,)),
         jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool),
         jnp.zeros((n,), jnp.float32))
-    n_outer = -(-(max_depth + 1) // k_steps)
+    lane = jnp.arange(n, dtype=jnp.int32)
 
-    def body(st, _):
-        return chain(st, keys, sph24, quad24, bg8, atlas, sb, qb), None
+    for j, k in enumerate(schedule):
+        chain = mkv.bounce_chain(
+            k, scene.has_moving, scene.has_quads, scene.has_perlin,
+            scene.has_images, scene.images.shape[1],
+            scene.images.shape[2], max_depth, t_min)
+        st = chain(st, keys, sph24, quad24, bg8, atlas, sb, qb)
+        if j < len(schedule) - 1:
+            st, keys, lane = _compact_lanes(st, keys, lane)
 
-    st, _ = jax.lax.scan(body, st0, None, length=n_outer)
     _, _, _, _, pend, _, _, traced = ops_mega.unpack_state(st)
-    return pend, jnp.sum(traced)
+    # Undo the compaction permutations: pend rides lanes, callers index
+    # by the original (pixel, sample) order.
+    rad = V3(jnp.zeros((n,), jnp.float32).at[lane].set(pend.x),
+             jnp.zeros((n,), jnp.float32).at[lane].set(pend.y),
+             jnp.zeros((n,), jnp.float32).at[lane].set(pend.z))
+    return rad, jnp.sum(traced)
 
 
 def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,

@@ -35,7 +35,7 @@ def _interpret_pallas(monkeypatch):
     monkeypatch.setattr(mkv.pl, "pallas_call", interp)
 
 
-def _compare(scene, cam, w, h, max_depth=3, k_steps=2, n=512,
+def _compare(scene, cam, w, h, max_depth=3, schedule=(2, 2), n=512,
              rtol=2e-3):
     ids = jnp.arange(n, dtype=jnp.int32)
     px, py = ids % w, (ids // w) % h
@@ -49,7 +49,7 @@ def _compare(scene, cam, w, h, max_depth=3, k_steps=2, n=512,
             o, d, tm = generate_rays(camera, px, py, w, h, keys)
             if fused:
                 rad, _ = trace_batch_fused(s, o, d, tm, keys, max_depth,
-                                           1e-3, k_steps=k_steps)
+                                           1e-3, schedule=schedule)
             else:
                 rad, _ = trace_batch(s, o, d, tm, keys, max_depth, 1e-3,
                                      differentiable=True)
@@ -118,7 +118,7 @@ def test_chain_forward_matches_nondiff():
                            (py * 32 + px).astype(jnp.uint32), 0)
     o, d, tm = generate_rays(cam, px, py, 32, 18, keys)
     rad, ntr = trace_batch_fused(scene, o, d, tm, keys, 4, 1e-3,
-                                 k_steps=2)
+                                 schedule=(2, 3))
     rad2, ntr2 = trace_batch(scene, o, d, tm, keys, 4, 1e-3,
                              differentiable=False)
     np.testing.assert_allclose(np.asarray(rad.x), np.asarray(rad2.x),
