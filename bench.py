@@ -56,8 +56,12 @@ def main():
                        use_megakernel=True)
 
     # --- scene construction (host) --------------------------------------
+    # Warm the backend first: the first jax op of the process pays TPU
+    # tunnel/backend initialization (~60 s), which is not scene-build cost.
+    jax.block_until_ready(jnp.zeros(8) + 1.0)
     t0 = time.time()
     scene, cam = chap12_scene(width, height)
+    jax.block_until_ready(scene.sphere_c0)
     build_s = time.time() - t0
 
     # --- forward: full image through the queue driver -------------------

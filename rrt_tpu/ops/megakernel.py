@@ -65,10 +65,11 @@ def _round_up(x, m):
 
 
 def supports(scene: SceneArrays) -> bool:
-    """Media, perlin-marble and sphere image textures run in-kernel;
-    only image textures on quads/media force the XLA fallback (the
-    kernel's one-hot atlas lookup uses sphere uv)."""
-    return not scene.has_images_off_spheres
+    """Media, perlin-marble and sphere/quad image textures run
+    in-kernel (per-family uv feeds the one-hot atlas lookup); only image
+    textures on media force the XLA fallback (media albedo resolves to a
+    solid color at pack time)."""
+    return not scene.has_images_on_media
 
 
 # ---------------------------------------------------------------------------
@@ -127,6 +128,13 @@ def pack_quads_full(scene: SceneArrays):
     eps_n = 1e-8 * jnp.sqrt(jnp.maximum(nn[:, 0], 1e-20))
     mtype, aux, c1, c2, textype, texscale = _mat_rows(scene,
                                                       scene.quad_mat)
+    # All 24 rows are spoken for, so the image-atlas index overloads the
+    # c2.r row (19): c2 is only ever read on the checker path, image
+    # textures only on the atlas path, and TEX_* selects between them.
+    tex = scene.mat_tex[scene.quad_mat]
+    img_idx = scene.tex_image[tex].astype(jnp.float32)
+    c2 = c2.at[:, 0].set(jnp.where(textype == TEX_IMAGE, img_idx,
+                                   c2[:, 0]))
     mat = jnp.concatenate([
         n.T, g.T, h.T, d_plane[None], q_g[None], q_h[None], eps_n[None],
         scene.quad_valid.astype(jnp.float32)[None], mtype[None],
@@ -779,10 +787,10 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             albg = jnp.where(is_per, marble * c1g, albg)
             albb = jnp.where(is_per, marble * c1b, albb)
         if has_images:
-            # Sphere uv (RTTNW ch. 4.2) -> one-hot atlas contraction
-            # (supports() guarantees image textures appear on spheres
-            # only). Row select rides the MXU; column select is a
-            # sublane reduce.
+            # Per-family uv -> one-hot atlas contraction. Sphere: RTTNW
+            # ch. 4.2 spherical uv; quad: parallelogram (alpha, beta)
+            # (matches geometry.make_hit). Row select rides the MXU;
+            # column select is a sublane reduce.
             inv_ar = 1.0 / jnp.maximum(jnp.abs(srad), 1e-20)
             uox = (px_ - scx) * inv_ar
             uoy = (py_ - scy) * inv_ar
@@ -791,11 +799,23 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             phi = _atan2_rows(-uoz, uox) + jnp.pi
             u_t = jnp.clip(phi * (0.5 / jnp.pi), 0.0, 1.0)
             v_t = 1.0 - jnp.clip(theta * (1.0 / jnp.pi), 0.0, 1.0)
+            img_row_idx = s_sel[19:20]
+            if has_quads:
+                # alpha = p.g - q_g, beta = p.h - q_h from the winner's
+                # packed plane basis; img_idx overloads c2.r (row 19).
+                alpha = (px_ * q_sel[3:4] + py_ * q_sel[4:5]
+                         + pz_ * q_sel[5:6]) - q_sel[10:11]
+                beta = (px_ * q_sel[6:7] + py_ * q_sel[7:8]
+                        + pz_ * q_sel[8:9]) - q_sel[11:12]
+                u_t = jnp.where(use_q, jnp.clip(alpha, 0.0, 1.0), u_t)
+                v_t = jnp.where(use_q, 1.0 - jnp.clip(beta, 0.0, 1.0),
+                                v_t)
+                img_row_idx = jnp.where(use_q, q_sel[19:20], img_row_idx)
             xi = jnp.clip((u_t * img_aw).astype(jnp.int32), 0,
                           img_aw - 1)
             yi = jnp.clip((v_t * img_ah).astype(jnp.int32), 0,
                           img_ah - 1)
-            row = (s_sel[19:20].astype(jnp.int32) * img_ah + yi)
+            row = (img_row_idx.astype(jnp.int32) * img_ah + yi)
             iah = atlas_ref.shape[0]
             row_iota = jax.lax.broadcasted_iota(jnp.int32, (iah, TN), 0)
             oh_y = (row_iota == row).astype(jnp.float32)

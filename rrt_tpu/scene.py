@@ -120,9 +120,10 @@ class SceneArrays:
         default=False, metadata=dict(static=True))
     has_moving: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
-    # Image textures on quads/media force the XLA fallback (the kernel's
-    # one-hot atlas lookup is wired for sphere uv only).
-    has_images_off_spheres: bool = dataclasses.field(
+    # Image textures on media force the XLA fallback (media albedo is
+    # resolved to a solid color at pack time; sphere/quad image textures
+    # run in-kernel via the one-hot atlas lookup with per-family uv).
+    has_images_on_media: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
     @property
@@ -409,15 +410,15 @@ class SceneBuilder:
             has_emissive=bool((mat_type == MAT_DIFFUSE_LIGHT).any()),
             has_moving=bool(np.abs(sphere_dc).max() > 0.0)
             if len(self._spheres) else False,
-            has_images_off_spheres=self._has_images_off_spheres(
-                tex_type, quad_mat[quad_valid], med_mat[med_valid]),
+            has_images_on_media=self._has_images_on_media(
+                tex_type, med_mat[med_valid]),
         )
 
-    def _has_images_off_spheres(self, tex_type, quad_mats, med_mats):
+    def _has_images_on_media(self, tex_type, med_mats):
         if not self._images:
             return False
         img_tex = set(np.nonzero(tex_type == TEX_IMAGE)[0].tolist())
-        for m in list(quad_mats) + list(med_mats):
+        for m in list(med_mats):
             if self._materials[int(m)][1] in img_tex:
                 return True
         return False

@@ -134,6 +134,32 @@ def test_megakernel_image_texture():
     _one_step(scene, cam, 32, 18)
 
 
+def test_megakernel_image_on_quad():
+    """Image textures on quads run in-kernel: parallelogram (alpha, beta)
+    uv feeds the one-hot atlas lookup (img_idx overloads the c2.r pack
+    row), and supports() no longer falls back."""
+    from rrt_tpu.camera import Camera
+    from rrt_tpu.scene import SceneBuilder
+    b = SceneBuilder()
+    rs = np.random.RandomState(3)
+    img = rs.uniform(0.05, 0.95, size=(16, 24, 3)).astype(np.float32)
+    tex = b.image(img)
+    b.quad((-2.0, -1.0, -3.0), (4.0, 0.0, 0.0), (0.0, 2.0, 0.0),
+           b.lambertian(tex))
+    # A checker quad alongside: checker still reads the real c2.r.
+    b.quad((-2.0, -3.5, -3.0), (4.0, 0.0, 0.0), (0.0, 2.0, 0.0),
+           b.lambertian(b.checker((0.9, 0.1, 0.1), (0.1, 0.1, 0.9),
+                                  scale=4.0)))
+    b.sphere((0.0, 2.5, -3.0), 1.0, b.metal((0.8, 0.8, 0.8), 0.1))
+    scene = b.build()
+    cam = Camera.create(look_from=(0.0, 0.0, 4.0),
+                        look_at=(0.0, 0.0, -3.0), fov_deg=60.0,
+                        aspect=32.0 / 18.0)
+    assert scene.has_images and not scene.has_images_on_media
+    assert mk.supports(scene)
+    _one_step(scene, cam, 32, 18)
+
+
 def test_megakernel_rttnw_final_supported():
     from rrt_tpu.scenes import rttnw_final_scene
     scene, cam = rttnw_final_scene(32, 18)
