@@ -47,7 +47,8 @@ def main():
     from rrt_tpu import rng
     from rrt_tpu.camera import generate_rays
     from rrt_tpu.diff import combine, partition
-    from rrt_tpu.render import RenderConfig, render_image_queue, trace_batch
+    from rrt_tpu.render import (RenderConfig, render_image_queue,
+                                render_image_tiles, trace_batch)
     from rrt_tpu.scenes import chap12_scene
 
     width, height, spp = 1200, 800, 8
@@ -64,8 +65,11 @@ def main():
     jax.block_until_ready(scene.sphere_c0)
     build_s = time.time() - t0
 
-    # --- forward: full image through the queue driver -------------------
+    # --- forward: full image through the tile-resident megakernel -------
     def fwd():
+        return render_image_tiles(scene, cam, cfg, 0)
+
+    def fwd_q():
         return render_image_queue(scene, cam, cfg, 0)
 
     def sync_img(out):
@@ -77,6 +81,8 @@ def main():
     sync_img(fwd())
     fwd_rays = float(n_fwd)
     fwd_med, fwd_min, fwd_max = _timed(fwd, sync_img)
+    sync_img(fwd_q())  # compile + warm
+    q_med, _, _ = _timed(fwd_q, sync_img)
 
     # --- backward: fused custom_vjp train step, full depth 50 -----------
     n_tile = 262144
@@ -130,6 +136,7 @@ def main():
         "detail": {
             "iters": N_ITERS,
             "fwd_mrays_per_s": round(fwd_rays / fwd_med / 1e6, 2),
+            "fwd_queue_mrays_per_s": round(fwd_rays / q_med / 1e6, 2),
             "fwd_s_median": round(fwd_med, 3),
             "fwd_s_spread": [round(fwd_min, 3), round(fwd_max, 3)],
             "bwd_alone_mrays_per_s": round(n_bwd_rays / bwd_med / 1e6, 2),

@@ -52,7 +52,11 @@ def build_parser():
                    "min(32, spp) so long renders report progress; "
                    "0 = all at once)")
     p.add_argument("--queue-size", type=int, default=131072)
-    p.add_argument("--driver", choices=("queue", "batch"), default="queue")
+    p.add_argument("--driver", choices=("queue", "batch", "tile"),
+                   default="queue",
+                   help="queue: compacted ray queue; tile: one-launch "
+                   "tile-resident megakernel (TPU, kernel-supported "
+                   "scenes); batch: differentiable path (parity/debug)")
     p.add_argument("--pallas", action="store_true",
                    help="use fused Pallas intersection kernels (TPU)")
     p.add_argument("--no-megakernel", action="store_true",
@@ -103,6 +107,13 @@ def main(argv=None):
     log(f"scene built in {time.time() - t0:.2f}s "
         f"({scene.n_spheres} sphere slots, {scene.n_quads} quad slots)")
 
+    if args.driver == "tile":
+        import rrt_tpu.ops.megakernel as _mk
+        if jax.default_backend() != "tpu" or not _mk.supports(scene):
+            log("tile driver needs a TPU and a kernel-supported scene; "
+                "falling back to queue")
+            args.driver = "queue"
+
     cfg = rrt_tpu.RenderConfig(
         width=width, height=height, spp=spp, max_depth=args.max_depth,
         queue_size=min(args.queue_size, width * height * spp),
@@ -115,6 +126,14 @@ def main(argv=None):
         trace_chunk = jax.jit(
             lambda sc, cm, x, y, k, lo, hi: trace_queue(sc, cm, x, y, cfg,
                                                         k, lo, hi))
+    elif args.driver == "tile":
+        # One-launch tile-resident megakernel; sample_lo is a traced
+        # scalar so all equal-size chunks share one compilation.
+        from rrt_tpu.render import trace_tiles
+
+        def trace_chunk(sc, cm, x, y, k, lo, hi):
+            return trace_tiles(sc, cm, cfg, k, sample_lo=lo,
+                               n_samples=hi - lo)
     else:
         # Batch driver (parity/debug path): internally tiled by
         # render_image; progressive chunking is a queue-driver feature.

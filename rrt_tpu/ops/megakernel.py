@@ -43,6 +43,8 @@ Quad pack, f32 (24, Qd):
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -178,12 +180,15 @@ def pack_atlas(scene: SceneArrays):
     return jnp.transpose(imgs, (0, 1, 3, 2)).reshape(i * ah, 3 * aw)
 
 
-def _tile_bounding_spheres(lo, hi, valid):
-    """Conservative per-TS-tile bounding spheres from per-slot AABBs.
+def _tile_bounding_aabbs(lo, hi, valid):
+    """Conservative per-TS-tile AABBs from per-slot AABBs.
 
-    lo, hi: (S, 3) slot bounds; valid: (S,) bool. Returns (n_tiles, 4)
-    f32 rows (cx, cy, cz, radius); radius < 0 marks an all-invalid tile
-    (always culled)."""
+    lo, hi: (S, 3) slot bounds; valid: (S,) bool. Returns (n_tiles, 8)
+    f32 rows (lo.xyz | hi.xyz | valid | pad). AABBs rather than bounding
+    spheres: the book scenes' dominant tiles are flat ground patches,
+    where a sphere wastes nearly all its volume (measured on the RTTNW
+    final scene: quad-tile skip rate 0.34 with spheres vs 0.82 with
+    AABBs on primary rays)."""
     s = lo.shape[0]
     n_tiles = s // TS
     big = jnp.float32(1e30)
@@ -192,16 +197,18 @@ def _tile_bounding_spheres(lo, hi, valid):
     tlo = jnp.min(lo, axis=1)
     thi = jnp.max(hi, axis=1)
     any_valid = jnp.any(valid.reshape(n_tiles, TS), axis=1)
-    center = jnp.where(any_valid[:, None], 0.5 * (tlo + thi), 0.0)
-    half = jnp.where(any_valid[:, None], 0.5 * (thi - tlo), 0.0)
-    rad = jnp.sqrt(jnp.sum(half * half, axis=1))
-    rad = jnp.where(any_valid, rad * 1.0001 + 1e-5, -1.0)
+    # Conservative pad (the slab test is exact, but keep a margin for
+    # f32 rounding of (bound - origin) * inv_d).
+    pad = 1e-4 * jnp.maximum(jnp.abs(tlo), jnp.abs(thi)) + 1e-5
+    tlo = jnp.where(any_valid[:, None], tlo - pad, 0.0)
+    thi = jnp.where(any_valid[:, None], thi + pad, 0.0)
+    vcol = any_valid.astype(jnp.float32)[:, None]
     return jax.lax.stop_gradient(
-        jnp.concatenate([center, rad[:, None]], axis=1))
+        jnp.concatenate([tlo, thi, vcol, jnp.zeros_like(vcol)], axis=1))
 
 
 def pack_sphere_bounds(scene: SceneArrays):
-    """(s_tiles, 4) bounding spheres over pack-order sphere tiles (both
+    """(s_tiles, 8) AABBs over pack-order sphere tiles (both
     motion endpoints +- |radius|; build order is spatially coherent for
     the book scenes, so tiles stay tight without reordering)."""
     c0 = scene.sphere_c0
@@ -215,11 +222,11 @@ def pack_sphere_bounds(scene: SceneArrays):
         lo = jnp.pad(lo, ((0, target - s), (0, 0)))
         hi = jnp.pad(hi, ((0, target - s), (0, 0)))
     valid = jnp.pad(scene.sphere_valid, (0, target - s))
-    return _tile_bounding_spheres(lo, hi, valid)
+    return _tile_bounding_aabbs(lo, hi, valid)
 
 
 def pack_quad_bounds(scene: SceneArrays):
-    """(q_tiles, 4) bounding spheres over pack-order quad tiles (AABB of
+    """(q_tiles, 8) AABBs over pack-order quad tiles (AABB of
     the four parallelogram corners per slot)."""
     q, u, v = scene.quad_q, scene.quad_u, scene.quad_v
     corners = jnp.stack([q, q + u, q + v, q + u + v], axis=0)  # (4,Q,3)
@@ -231,7 +238,7 @@ def pack_quad_bounds(scene: SceneArrays):
         lo = jnp.pad(lo, ((0, target - nq), (0, 0)))
         hi = jnp.pad(hi, ((0, target - nq), (0, 0)))
     valid = jnp.pad(scene.quad_valid, (0, target - nq))
-    return _tile_bounding_spheres(lo, hi, valid)
+    return _tile_bounding_aabbs(lo, hi, valid)
 
 
 def pack_bg(scene: SceneArrays):
@@ -483,78 +490,43 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         inv_a = 1.0 / a
         d_len = jnp.sqrt(a)
 
-        # --- sphere family ----------------------------------------------
-        # fori_loop (not python unroll): Mosaic keeps every unrolled
-        # iteration's temporaries on the scoped VMEM stack.
-        def sphere_tile_full(si, carry):
-            t_s, s_sel, i_s = carry
-            off = pl.multiple_of(si * TS, TS)
-            blk = sph_ref[:, pl.ds(off, TS)]  # (24, TS)
-            bx = blk[0:1].T
-            by = blk[1:2].T
-            bz = blk[2:3].T
-            r2 = blk[3:4].T
-            valid = blk[7:8].T > 0.5
-            if moving:
-                cxt = bx + time * blk[4:5].T
-                cyt = by + time * blk[5:6].T
-                czt = bz + time * blk[6:7].T
-            else:
-                cxt, cyt, czt = bx, by, bz
-            d_c = dx * cxt + dy * cyt + dz * czt
-            o_c = ox * cxt + oy * cyt + oz * czt
-            c_sq = cxt * cxt + cyt * cyt + czt * czt
-            half_b = o_dot_d - d_c
-            c_coef = o_dot_o - 2.0 * o_c + c_sq - r2
-            disc = half_b * half_b - a * c_coef
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            root0 = (-half_b - sq) * inv_a
-            root1 = (-half_b + sq) * inv_a
-            ok = (disc > 0.0) & valid
-            in0 = ok & (root0 > t_min) & (root0 < t_s)
-            in1 = ok & (root1 > t_min) & (root1 < t_s)
-            t_cand = jnp.where(in0, root0, jnp.where(in1, root1, INF))
-            return _select_winner(blk, t_cand,
-                                  si.astype(jnp.float32) * TS,
-                                  t_s, s_sel, i_s)
+        if cull_s or cull_q:
+            # Whole-tile AABB culling: one slab test per (ray-tile,
+            # prim-tile) pair gates the TS-wide evaluation — the TPU
+            # answer to the reference's BVH walk
+            # (/root/reference/src/acceleration.rs:221-272). Parallel
+            # axes are treated as non-constraining (conservative: a
+            # false "possible" only costs the full tile evaluation).
+            par_x = jnp.abs(dx) < 1e-20
+            par_y = jnp.abs(dy) < 1e-20
+            par_z = jnp.abs(dz) < 1e-20
+            cinv_x = 1.0 / jnp.where(par_x, 1.0, dx)
+            cinv_y = 1.0 / jnp.where(par_y, 1.0, dy)
+            cinv_z = 1.0 / jnp.where(par_z, 1.0, dz)
 
-        if cull_s:
-            # Whole-tile skip: one cheap per-lane test against the
-            # tile's bounding sphere gates the TS-wide quadratic + the
-            # one-hot MXU selection — most tiles of a large scene are
-            # nowhere near most rays (the TPU answer to the reference's
-            # BVH walk, /root/reference/src/acceleration.rs:221-272).
-            def sphere_tile(si, carry):
-                bcx = sb_ref[si, 0]
-                bcy = sb_ref[si, 1]
-                bcz = sb_ref[si, 2]
-                brad = sb_ref[si, 3]
-                bocx = ox - bcx
-                bocy = oy - bcy
-                bocz = oz - bcz
-                hb = bocx * dx + bocy * dy + bocz * dz
-                cc = (bocx * bocx + bocy * bocy + bocz * bocz
-                      - brad * brad)
-                disc_b = hb * hb - a * cc
-                sqb = jnp.sqrt(jnp.maximum(disc_b, 0.0))
-                t_near = (-hb - sqb) * inv_a
-                t_far = (-hb + sqb) * inv_a
-                poss = ((disc_b > 0.0) & (t_far > t_min)
-                        & (t_near < carry[0]))
-                return jax.lax.cond(
-                    jnp.any(poss),
-                    lambda c: sphere_tile_full(si, c),
-                    lambda c: c, carry)
-        else:
-            sphere_tile = sphere_tile_full
+            def tile_poss(b_ref, ti, t_best):
+                t1 = (b_ref[ti, 0] - ox) * cinv_x
+                t2 = (b_ref[ti, 3] - ox) * cinv_x
+                tn = jnp.where(par_x, -INF, jnp.minimum(t1, t2))
+                tf = jnp.where(par_x, INF, jnp.maximum(t1, t2))
+                t1 = (b_ref[ti, 1] - oy) * cinv_y
+                t2 = (b_ref[ti, 4] - oy) * cinv_y
+                tn = jnp.maximum(
+                    tn, jnp.where(par_y, -INF, jnp.minimum(t1, t2)))
+                tf = jnp.minimum(
+                    tf, jnp.where(par_y, INF, jnp.maximum(t1, t2)))
+                t1 = (b_ref[ti, 2] - oz) * cinv_z
+                t2 = (b_ref[ti, 5] - oz) * cinv_z
+                tn = jnp.maximum(
+                    tn, jnp.where(par_z, -INF, jnp.minimum(t1, t2)))
+                tf = jnp.minimum(
+                    tf, jnp.where(par_z, INF, jnp.maximum(t1, t2)))
+                return ((tn <= tf) & (tf > t_min) & (tn < t_best)
+                        & (b_ref[ti, 6] > 0.5))
 
-        t_s, s_sel, i_s = jax.lax.fori_loop(
-            0, s_tiles, sphere_tile,
-            (jnp.full((1, TN), INF, jnp.float32),
-             jnp.zeros((24, TN), jnp.float32),
-             jnp.zeros((1, TN), jnp.float32)))
-
-        # --- quad family ------------------------------------------------
+        # --- quad family (first: its winner t seeds the sphere loop
+        # below, so sphere tiles behind a closer quad hit are t-culled
+        # for free) ------------------------------------------------------
         if has_quads:
             def quad_tile_full(qi, carry):
                 t_q, q_sel, i_q = carry
@@ -594,24 +566,8 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
 
             if cull_q:
                 def quad_tile(qi, carry):
-                    bcx = qb_ref[qi, 0]
-                    bcy = qb_ref[qi, 1]
-                    bcz = qb_ref[qi, 2]
-                    brad = qb_ref[qi, 3]
-                    bocx = ox - bcx
-                    bocy = oy - bcy
-                    bocz = oz - bcz
-                    hb = bocx * dx + bocy * dy + bocz * dz
-                    cc = (bocx * bocx + bocy * bocy + bocz * bocz
-                          - brad * brad)
-                    disc_b = hb * hb - a * cc
-                    sqb = jnp.sqrt(jnp.maximum(disc_b, 0.0))
-                    t_near = (-hb - sqb) * inv_a
-                    t_far = (-hb + sqb) * inv_a
-                    poss = ((disc_b > 0.0) & (t_far > t_min)
-                            & (t_near < carry[0]))
                     return jax.lax.cond(
-                        jnp.any(poss),
+                        jnp.any(tile_poss(qb_ref, qi, carry[0])),
                         lambda c: quad_tile_full(qi, c),
                         lambda c: c, carry)
             else:
@@ -623,13 +579,73 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                  jnp.zeros((24, TN), jnp.float32),
                  jnp.zeros((1, TN), jnp.float32)))
 
-            use_q = t_q < t_s
-            t_hit = jnp.where(use_q, t_q, t_s)
         else:
             i_q = jnp.zeros((1, TN), jnp.float32)
             q_sel = None  # no quad family packed
+            t_q = jnp.full((1, TN), INF, jnp.float32)
+
+        # --- sphere family ----------------------------------------------
+        # fori_loop (not python unroll): Mosaic keeps every unrolled
+        # iteration's temporaries on the scoped VMEM stack.
+        def sphere_tile_full(si, carry):
+            t_s, s_sel, i_s = carry
+            off = pl.multiple_of(si * TS, TS)
+            blk = sph_ref[:, pl.ds(off, TS)]  # (24, TS)
+            bx = blk[0:1].T
+            by = blk[1:2].T
+            bz = blk[2:3].T
+            r2 = blk[3:4].T
+            valid = blk[7:8].T > 0.5
+            if moving:
+                cxt = bx + time * blk[4:5].T
+                cyt = by + time * blk[5:6].T
+                czt = bz + time * blk[6:7].T
+            else:
+                cxt, cyt, czt = bx, by, bz
+            d_c = dx * cxt + dy * cyt + dz * czt
+            o_c = ox * cxt + oy * cyt + oz * czt
+            c_sq = cxt * cxt + cyt * cyt + czt * czt
+            half_b = o_dot_d - d_c
+            c_coef = o_dot_o - 2.0 * o_c + c_sq - r2
+            disc = half_b * half_b - a * c_coef
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root0 = (-half_b - sq) * inv_a
+            root1 = (-half_b + sq) * inv_a
+            ok = (disc > 0.0) & valid
+            in0 = ok & (root0 > t_min) & (root0 < t_s)
+            in1 = ok & (root1 > t_min) & (root1 < t_s)
+            t_cand = jnp.where(in0, root0, jnp.where(in1, root1, INF))
+            return _select_winner(blk, t_cand,
+                                  si.astype(jnp.float32) * TS,
+                                  t_s, s_sel, i_s)
+
+        if cull_s:
+            # Whole-tile skip: one cheap per-lane slab test against the
+            # tile's AABB gates the TS-wide quadratic + the one-hot MXU
+            # selection — most tiles of a large scene are nowhere near
+            # most rays.
+            def sphere_tile(si, carry):
+                return jax.lax.cond(
+                    jnp.any(tile_poss(sb_ref, si, carry[0])),
+                    lambda c: sphere_tile_full(si, c),
+                    lambda c: c, carry)
+        else:
+            sphere_tile = sphere_tile_full
+
+        t_s, s_sel, i_s = jax.lax.fori_loop(
+            0, s_tiles, sphere_tile,
+            (t_q,  # seeded: spheres must beat the quad winner
+             jnp.zeros((24, TN), jnp.float32),
+             jnp.zeros((1, TN), jnp.float32)))
+
+        # t_s is already min(quad winner, best sphere). A sphere won only
+        # if it strictly beat the seed (exact sphere/quad t ties now
+        # break to the quad; measure-zero).
+        if has_quads:
+            use_q = jnp.logical_not(t_s < t_q) & (t_q < INF)
+        else:
             use_q = jnp.zeros((1, TN), bool)
-            t_hit = t_s
+        t_hit = t_s
 
         # --- constant media (RTTNW ch. 9; scalar loop over few media) ---
         if n_media > 0:
@@ -980,7 +996,7 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
     quads24 (24, Qd) (dummy (24, TS) zeros when has_quads is False);
     bg8 (8,) f32 from pack_bg. sph_bounds/quad_bounds: optional
-    (n_tiles, 4) tile bounding spheres (pack_*_bounds) enabling
+    (n_tiles, 8) tile AABBs (pack_*_bounds) enabling
     whole-tile culling on large scenes. Returns state' (row 15 carries
     the cumulative per-lane traced-ray counts)."""
     q = state.shape[1]
@@ -994,9 +1010,9 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
     cull_q = (quad_bounds is not None and has_quads
               and q_count // TS >= CULL_MIN_TILES)
     if sph_bounds is None:
-        sph_bounds = jnp.zeros((1, 4), jnp.float32)
+        sph_bounds = jnp.zeros((1, 8), jnp.float32)
     if quad_bounds is None:
-        quad_bounds = jnp.zeros((1, 4), jnp.float32)
+        quad_bounds = jnp.zeros((1, 8), jnp.float32)
     kern = functools.partial(
         _bounce_megakernel, k_steps=k_steps, s_tiles=s_count // TS,
         q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
@@ -1282,3 +1298,329 @@ def intersect_only(rays8, keys, spheres24, quads24, med24, *,
             transcendentals=q * (s_count + q_count) // 8),
     )(rays8, keys, spheres24, quads24, med24)
     return out[0], out[1].astype(jnp.int32), out[2].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Tile-resident full-image renderer: the whole forward render in ONE
+# Pallas launch. Each grid instance owns TN pixels (lane <-> pixel,
+# fixed); a lane traces its pixel's spp samples back-to-back, and when a
+# path dies the lane *regenerates in-kernel* — fresh (pixel, sample)
+# keys by Threefry, thin-lens camera math, throughput reset — so the
+# per-outer XLA refill/flush glue of the queue driver (cumsum, camera
+# fusion, (3,P) pixel scatter-add, state selects; ~half the per-outer
+# wall time, BASELINE.md) disappears entirely: radiance accumulates
+# per-lane in registers and each tile writes its (3,TN) pixel sums once.
+# The TPU-native answer to the reference's per-pixel sample loop
+# (/root/reference/src/lib.rs:96-103) without any host/XLA round-trips.
+# ---------------------------------------------------------------------------
+
+
+def pack_camera(camera, width: int, height: int):
+    """(24,) f32 SMEM operand: derived thin-lens basis + jitter scales.
+    Layout: 0-2 origin | 3-5 lower_left | 6-8 horizontal | 9-11 vertical
+    | 12-14 u | 15-17 v | 18 lens_radius | 19 time0 | 20 time1-time0
+    | 21 W | 22 H | 23 H-1."""
+    origin, lower_left, horizontal, vertical, u, v = camera.basis()
+    tail = jnp.stack([
+        camera.aperture * 0.5, camera.time0, camera.time1 - camera.time0,
+        jnp.float32(width), jnp.float32(height), jnp.float32(height - 1)])
+    return jnp.concatenate([origin, lower_left, horizontal, vertical, u,
+                            v, tail]).astype(jnp.float32)
+
+
+def pack_pixel_meta(width: int, height: int, block: int = TN):
+    """(8, NP) f32 pixel rows, NP = n_pix rounded up to `block`: px | py
+    | gid | valid | 4 pad. Invalid (pad) lanes clamp to the last pixel
+    so camera math stays finite; they park immediately and write
+    nothing.
+
+    Pixels are laid out in 32x16 rectangles (one per TN=512 lane tile)
+    rather than scan-line order: each ray tile's primary rays then form
+    a tight frustum, which is what makes the whole-tile bound culling
+    fire on large scenes. Callers must un-permute output by the gid
+    row.
+
+    Within each `block` (= chains*TN columns), every lane's chain
+    sequence is sorted valid-first: the kernel retires a lane the first
+    time its *next* chain pixel is invalid, so a mid-sequence invalid
+    (right/bottom-edge rectangles when the resolution doesn't divide
+    32x16) must never precede a valid one or its later chains go
+    unrendered (black-rectangle corruption at e.g. 1200x800)."""
+    n_pix = width * height
+    bw, bh = 32, TN // 32
+    gx = -(-width // bw)
+    gy = -(-height // bh)
+    bx, by = np.meshgrid(np.arange(gx), np.arange(gy))
+    xx, yy = np.meshgrid(np.arange(bw), np.arange(bh))
+    px = (bx.reshape(-1, 1) * bw + xx.reshape(1, -1)).reshape(-1)
+    py = (by.reshape(-1, 1) * bh + yy.reshape(1, -1)).reshape(-1)
+    valid = (px < width) & (py < height)
+    px = np.minimum(px, width - 1)
+    py = np.minimum(py, height - 1)
+    gid = py * width + px
+    npad = _round_up(len(px), block)
+    pad = npad - len(px)
+    if pad:
+        px = np.concatenate([px, np.full(pad, width - 1)])
+        py = np.concatenate([py, np.full(pad, height - 1)])
+        gid = np.concatenate([gid, np.full(pad, n_pix - 1)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    chains = block // TN
+    if chains > 1 and not valid.all():
+        # Stable valid-first sort of each lane's chain sequence
+        # (block-local; pixels only move between a lane's own chains, so
+        # per-tile frustum coherence is only perturbed in mixed
+        # edge rectangles).
+        def r3(a):
+            return a.reshape(npad // block, chains, TN)
+
+        order = np.argsort(~r3(valid), axis=1, kind="stable")
+        px, py, gid, valid = (
+            np.take_along_axis(r3(a), order, axis=1).reshape(-1)
+            for a in (px, py, gid, valid))
+    zero = np.zeros((npad,), np.float32)
+    return jnp.asarray(np.stack(
+        [px.astype(np.float32), py.astype(np.float32),
+         gid.astype(np.float32), valid.astype(np.float32),
+         zero, zero, zero, zero], axis=0))
+
+
+def _camera_rays(cam_ref, k0, k1, pxr, pyr):
+    """In-kernel thin-lens camera rays. Mirrors rng.camera_draws +
+    camera.generate_rays op-for-op (same f32 expression trees), so the
+    generated rays are bit-identical to the XLA refill path."""
+    us = []
+    for pair in range(3):
+        a, b = rng.threefry2x32(
+            k0, k1, jnp.uint32(0),
+            jnp.uint32(pair) * jnp.uint32(0x9E3779B9) + jnp.uint32(pair))
+        us.append(rng._to_uniform(a))
+        us.append(rng._to_uniform(b))
+    jx, jy, u2, u3, time_u = us[0], us[1], us[2], us[3], us[4]
+    r = jnp.sqrt(u2)
+    theta = (2.0 * jnp.pi) * u3
+    dcx = r * jnp.cos(theta)
+    dcy = r * jnp.sin(theta)
+    s = (pxr + jx) / cam_ref[21]
+    t = ((cam_ref[23] - pyr) + jy) / cam_ref[22]
+    rdx = cam_ref[18] * dcx
+    rdy = cam_ref[18] * dcy
+    ox = cam_ref[0] + cam_ref[12] * rdx + cam_ref[15] * rdy
+    oy = cam_ref[1] + cam_ref[13] * rdx + cam_ref[16] * rdy
+    oz = cam_ref[2] + cam_ref[14] * rdx + cam_ref[17] * rdy
+    dx = cam_ref[3] + cam_ref[6] * s + cam_ref[9] * t - ox
+    dy = cam_ref[4] + cam_ref[7] * s + cam_ref[10] * t - oy
+    dz = cam_ref[5] + cam_ref[8] * s + cam_ref[11] * t - oz
+    tm = cam_ref[19] + cam_ref[20] * time_u
+    return ox, oy, oz, dx, dy, dz, tm
+
+
+def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
+                        med_ref, atlas_ref, bg_ref, sb_ref, qb_ref,
+                        out_ref, *, spp, chains, max_steps, s_tiles,
+                        q_tiles, moving, has_quads, has_perlin,
+                        has_images, img_ah, img_aw, n_media, t_min,
+                        max_depth, cull_s, cull_q):
+    # Lane L owns `chains` pixels (one per TN-column block of the meta
+    # tile) and traces each pixel's spp samples back-to-back before
+    # advancing to the next. More chains per lane averages the straggler
+    # tail (the while loop runs to the max over lanes of total path
+    # length, whose relative spread shrinks as 1/sqrt(chains*spp)).
+    s0 = seed_ref[0]
+    s1 = seed_ref[1]
+    lo = seed_ref[2]  # first sample id (progressive chunks)
+    bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
+              has_quads=has_quads, has_perlin=has_perlin,
+              has_images=has_images, img_ah=img_ah, img_aw=img_aw,
+              n_media=n_media, t_min=t_min, max_depth=max_depth,
+              sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
+
+    out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    def meta_at(chain, row):
+        """Per-lane meta `row` of each lane's current chain pixel."""
+        v = meta_ref[row:row + 1, pl.ds(0, TN)]
+        for c in range(1, chains):
+            v = jnp.where(chain == jnp.float32(c),
+                          meta_ref[row:row + 1, pl.ds(c * TN, TN)], v)
+        return v
+
+    chain0 = jnp.zeros((1, TN), jnp.float32)
+    pxr = meta_at(chain0, 0)
+    pyr = meta_at(chain0, 1)
+    gidf = meta_at(chain0, 2)
+    valid = meta_at(chain0, 3) > 0.5
+    gid = gidf.astype(jnp.int32).astype(jnp.uint32)
+
+    zeros = jnp.zeros((1, TN), jnp.float32)
+    ones = jnp.ones((1, TN), jnp.float32)
+    k0, k1 = rng.threefry2x32(s0, s1, gid, lo)
+    ox, oy, oz, dx, dy, dz, tm = _camera_rays(cam_ref, k0, k1, pxr, pyr)
+    carry0 = (ox, oy, oz, dx, dy, dz, tm,
+              ones, ones, ones,  # throughput
+              zeros, zeros, zeros,  # current-pixel radiance accumulator
+              zeros,  # bounce
+              valid.astype(jnp.float32),  # alive (f32: Mosaic i1 carry)
+              zeros,  # traced
+              zeros,  # sample counter
+              chain0, pxr, pyr, gidf,
+              k0, k1, jnp.zeros((), jnp.int32))
+
+    def cond(carry):
+        return jnp.any(carry[14] > 0.5) & (carry[23] < max_steps)
+
+    def body(carry):
+        rows_f = carry[:16]
+        sample, chain, pxr, pyr, gidf = carry[16:21]
+        k0, k1, kstep = carry[21], carry[22], carry[23]
+        rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
+        rows2, _ = _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref,
+                               atlas_ref, bg_ref, **bk)
+        alive2 = rows2[14]  # bool survives
+        die = rows[14] & jnp.logical_not(alive2)
+        last = sample >= jnp.float32(spp - 1)
+        fin = die & last
+
+        # Flush finished pixels' radiance into their chain's out block.
+        finf = fin.astype(jnp.float32)
+        for c in range(chains):
+            m = finf * (chain == jnp.float32(c)).astype(jnp.float32)
+            out_ref[0:3, pl.ds(c * TN, TN)] += jnp.concatenate(
+                [rows2[10] * m, rows2[11] * m, rows2[12] * m], axis=0)
+
+        nxt = chain + fin.astype(jnp.float32)
+        nv = meta_at(jnp.minimum(nxt, jnp.float32(chains - 1)), 3) > 0.5
+        adv = fin & (chain < jnp.float32(chains - 1)) & nv
+        regen = (die & jnp.logical_not(last)) | adv
+        chain = chain + adv.astype(jnp.float32)
+        sample = jnp.where(die & jnp.logical_not(last), sample + 1.0,
+                           jnp.where(adv, 0.0, sample))
+        pxr = jnp.where(adv, meta_at(chain, 0), pxr)
+        pyr = jnp.where(adv, meta_at(chain, 1), pyr)
+        gidf = jnp.where(adv, meta_at(chain, 2), gidf)
+        gid = gidf.astype(jnp.int32).astype(jnp.uint32)
+
+        k0n, k1n = rng.threefry2x32(
+            s0, s1, gid,
+            sample.astype(jnp.int32).astype(jnp.uint32) + lo)
+        k0 = jnp.where(regen, k0n, k0)
+        k1 = jnp.where(regen, k1n, k1)
+        cox, coy, coz, cdx, cdy, cdz, ctm = _camera_rays(
+            cam_ref, k0, k1, pxr, pyr)
+        new = (jnp.where(regen, cox, rows2[0]),
+               jnp.where(regen, coy, rows2[1]),
+               jnp.where(regen, coz, rows2[2]),
+               jnp.where(regen, cdx, rows2[3]),
+               jnp.where(regen, cdy, rows2[4]),
+               jnp.where(regen, cdz, rows2[5]),
+               jnp.where(regen, ctm, rows2[6]),
+               jnp.where(regen, 1.0, rows2[7]),
+               jnp.where(regen, 1.0, rows2[8]),
+               jnp.where(regen, 1.0, rows2[9]),
+               # pend accumulates across samples, resets per pixel
+               rows2[10] * (1.0 - finf),
+               rows2[11] * (1.0 - finf),
+               rows2[12] * (1.0 - finf),
+               jnp.where(regen, 0.0, rows2[13]),
+               (alive2 | regen).astype(jnp.float32),
+               rows2[15])
+        return new + (sample, chain, pxr, pyr, gidf, k0, k1, kstep + 1)
+
+    end = jax.lax.while_loop(cond, body, carry0)
+    out_ref[3:4, pl.ds(0, TN)] = end[15]  # per-lane traced counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "chains", "moving", "has_quads", "has_perlin",
+                     "has_images", "img_ah", "img_aw", "n_media",
+                     "max_depth", "t_min"))
+def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
+                 atlas=None, sph_bounds=None, quad_bounds=None, *,
+                 spp: int, chains: int = 1, moving: bool = False,
+                 has_quads: bool = False,
+                 has_perlin: bool = False, has_images: bool = False,
+                 img_ah: int = 1, img_aw: int = 1, n_media: int = 0,
+                 max_depth: int = 50, t_min: float = 1e-3):
+    """Render every pixel's spp samples in one launch.
+
+    meta (8, NP) from pack_pixel_meta (NP a multiple of chains*TN);
+    seed2 (4,) uint32: seed words + first sample id (progressive
+    chunks) + pad; cam24 (24,) from pack_camera; primitive packs as in
+    bounce_steps. Returns (8, NP): rows 0-2 radiance sums over the spp
+    samples starting at seed2[2], row 3 per-lane traced-ray counts
+    (chain-0 columns)."""
+    npad = meta.shape[1]
+    s_count = spheres24.shape[1]
+    q_count = quads24.shape[1]
+    block = chains * TN
+    if atlas is None:
+        atlas = jnp.zeros((8, 128), jnp.float32)
+    cull_s = sph_bounds is not None and s_count // TS >= CULL_MIN_TILES
+    cull_q = (quad_bounds is not None and has_quads
+              and q_count // TS >= CULL_MIN_TILES)
+    if sph_bounds is None:
+        sph_bounds = jnp.zeros((1, 8), jnp.float32)
+    if quad_bounds is None:
+        quad_bounds = jnp.zeros((1, 8), jnp.float32)
+    max_steps = chains * spp * (max_depth + 1) + 1
+    kern = functools.partial(
+        _tile_render_kernel, spp=spp, chains=chains, max_steps=max_steps,
+        s_tiles=s_count // TS, q_tiles=q_count // TS, moving=moving,
+        has_quads=has_quads, has_perlin=has_perlin,
+        has_images=has_images, img_ah=img_ah, img_aw=img_aw,
+        n_media=n_media, t_min=t_min, max_depth=float(max_depth),
+        cull_s=cull_s, cull_q=cull_q)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(npad // block,),
+        in_specs=[
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((24, s_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, q_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(atlas.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=spp * 3 * 40 * npad * (s_count + q_count),
+            bytes_accessed=4 * (9 * npad + 24 * (s_count + q_count)),
+            transcendentals=spp * 3 * npad * 40),
+    )(meta, seed2, cam24, spheres24, quads24, med24, atlas, bg8,
+      sph_bounds, quad_bounds)
+    return out
+
+
+def order_tiles_near_first(pack, bounds, cam_origin):
+    """Permute the TS-slot tiles of a primitive pack (and its bounds)
+    so tiles nearer the camera come first. Each family's running-best t
+    then shrinks in the first few tiles and later tiles fail the
+    whole-tile bound test (`t_near < t_best`) — the traversal-order
+    half of the reference's near-child-first BVH walk
+    (/root/reference/src/acceleration.rs:253-267), done once per launch
+    instead of per ray. Winner indices stay pack-relative, so only
+    callers that never export slot ids may use this (the megakernel
+    drivers; not intersect_only)."""
+    n_tiles = bounds.shape[0]
+    if n_tiles <= 1:
+        return pack, bounds
+    center = 0.5 * (bounds[:, 0:3] + bounds[:, 3:6])
+    d2 = jnp.sum((center - cam_origin[None, :]) ** 2, axis=1)
+    d2 = jnp.where(bounds[:, 6] < 0.5, jnp.float32(1e30), d2)
+    perm = jnp.argsort(jax.lax.stop_gradient(d2))
+    s = pack.shape[1]
+    pack = pack.reshape(pack.shape[0], n_tiles, TS)[:, perm, :] \
+        .reshape(pack.shape[0], s)
+    return pack, bounds[perm]

@@ -216,7 +216,11 @@ def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
              else jnp.zeros((8, 128), jnp.float32))
     sb = ops_mega.pack_sphere_bounds(scene)
     qb = (ops_mega.pack_quad_bounds(scene) if scene.has_quads
-          else jnp.zeros((1, 4), jnp.float32))
+          else jnp.zeros((1, 8), jnp.float32))
+    # No near-first tile ordering here: a traced argsort+gather feeding
+    # a pallas_call inside lax.while_loop costs ~100 ms/outer on the
+    # tunnel runtime (measured: chap12 queue 21 -> 2.3 Mrays/s). The
+    # tile driver (trace_tiles, single launch) is where ordering pays.
 
     st = ops_mega.pack_state(
         o, d, time, V3.ones((n,)), V3.zeros((n,)),
@@ -336,6 +340,8 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         sb_mk = ops_mega.pack_sphere_bounds(scene)
         qb_mk = (ops_mega.pack_quad_bounds(scene) if scene.has_quads
                  else None)
+        # No near-first ordering (see trace_batch_fused): the traced
+        # permutation costs ~100 ms/outer inside the while_loop here.
 
     ones_q = jnp.ones((q,), jnp.float32)
     zeros_q = jnp.zeros((q,), jnp.float32)
@@ -555,6 +561,79 @@ def render_image_queue(scene: SceneArrays, camera: Camera,
     py = ids // cfg.width
     rad, n_traced = trace_queue(scene, camera, px, py, cfg, seed_key,
                                 0, cfg.spp)
+    image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
+    return image, n_traced
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
+                seed, sample_lo=0, n_samples: int | None = None):
+    """Tile-resident render of samples [sample_lo, sample_lo+n_samples):
+    returns (radiance sums (P,3), n_traced). sample_lo is a traced
+    scalar, so progressive chunks share one compilation."""
+    n_samples = cfg.spp if n_samples is None else n_samples
+    seed_key = _as_key(seed)
+    n_pix = cfg.width * cfg.height
+    # Chains per lane: amortize the straggler tail (relative spread of
+    # the per-lane total path length ~ 1/sqrt(chains*spp)) while keeping
+    # at least a few grid instances for pipelining. Scenes with active
+    # whole-tile culling keep chains low: lanes spread across chains mix
+    # pixel rectangles into one ray tile, which would destroy the
+    # primary-ray coherence the bound tests need.
+    big = (scene.n_spheres // ops_mega.TS >= ops_mega.CULL_MIN_TILES
+           or scene.n_quads // ops_mega.TS >= ops_mega.CULL_MIN_TILES)
+    cap = 4 if big else 16
+    chains = max(1, min(128 // max(n_samples, 1),
+                        n_pix // (4 * ops_mega.TN), cap))
+    meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height,
+                                    chains * ops_mega.TN)
+    s0, s1 = rng._seed_words(seed_key)
+    seed2 = jnp.stack([
+        s0, s1, jnp.asarray(sample_lo).astype(jnp.uint32),
+        jnp.uint32(0)]).astype(jnp.uint32)
+    cam24 = ops_mega.pack_camera(camera, cfg.width, cfg.height)
+    sph24 = ops_mega.pack_spheres_full(scene)
+    quad24 = (ops_mega.pack_quads_full(scene) if scene.has_quads
+              else jnp.zeros((24, ops_mega.TS), jnp.float32))
+    med24 = ops_mega.pack_media(scene)
+    bg8 = ops_mega.pack_bg(scene)
+    atlas = ops_mega.pack_atlas(scene) if scene.has_images else None
+    sb = ops_mega.pack_sphere_bounds(scene)
+    qb = (ops_mega.pack_quad_bounds(scene) if scene.has_quads else None)
+    sph24, sb = ops_mega.order_tiles_near_first(sph24, sb,
+                                                camera.look_from)
+    if scene.has_quads:
+        quad24, qb = ops_mega.order_tiles_near_first(quad24, qb,
+                                                     camera.look_from)
+    out = ops_mega.render_tiles(
+        meta, seed2, cam24, sph24, quad24, med24, bg8, atlas, sb, qb,
+        spp=n_samples, chains=chains,
+        moving=scene.has_moving, has_quads=scene.has_quads,
+        has_perlin=scene.has_perlin, has_images=scene.has_images,
+        img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
+        n_media=scene.n_media if scene.has_media else 0,
+        max_depth=cfg.max_depth, t_min=cfg.t_min)
+    # Un-permute the 2D-blocked pixel layout back to scan-line order.
+    gid = meta[2].astype(jnp.int32)
+    validf = meta[3]
+    rad = jnp.zeros((n_pix, 3), jnp.float32).at[gid].add(
+        jnp.stack([out[0] * validf, out[1] * validf, out[2] * validf],
+                  axis=-1), mode="drop")
+    return rad, jnp.sum(out[3])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_image_tiles(scene: SceneArrays, camera: Camera,
+                       cfg: RenderConfig, seed):
+    """Render the full image with the tile-resident megakernel: ONE
+    Pallas launch for all pixels x samples (ops.megakernel.render_tiles).
+    Lane <-> pixel is fixed; dead paths regenerate in-kernel, so none of
+    the queue driver's refill/flush XLA glue runs at all. Per-sample
+    radiance is bit-identical to the other drivers up to f32 near-tie
+    flips (in-kernel camera math may fuse differently than the XLA
+    refill's). Requires a kernel-supported scene on TPU
+    (render_image_queue is the general fallback)."""
+    rad, n_traced = trace_tiles(scene, camera, cfg, seed)
     image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
     return image, n_traced
 

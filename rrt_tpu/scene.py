@@ -305,7 +305,32 @@ class SceneBuilder:
 
     # -- freeze -----------------------------------------------------------
 
-    def build(self) -> SceneArrays:
+    @staticmethod
+    def _morton_perm(centers: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """Permutation putting valid slots in Morton (Z-curve) order,
+        invalid slots last. A spatially coherent slot order keeps the
+        megakernel's per-TS-tile AABBs tight so whole-tile
+        culling fires on large scenes — the build-side TPU answer to the
+        reference's BVH build (/root/reference/src/acceleration.rs:150-217):
+        instead of a pointer tree walked per ray, the spatial hierarchy
+        is baked into slot order and consumed as tile bounds."""
+        n = centers.shape[0]
+        if valid.sum() <= 1:
+            return np.arange(n)
+        c = centers[valid]
+        lo, hi = c.min(0), c.max(0)
+        q = np.clip((c - lo) / np.maximum(hi - lo, 1e-20) * 1023.0,
+                    0.0, 1023.0).astype(np.uint64)
+        code = np.zeros(len(c), np.uint64)
+        for b in range(10):
+            for a in range(3):
+                code |= ((q[:, a] >> np.uint64(b)) & np.uint64(1)) \
+                    << np.uint64(3 * b + a)
+        return np.concatenate([
+            np.flatnonzero(valid)[np.argsort(code, kind="stable")],
+            np.flatnonzero(~valid)])
+
+    def build(self, spatial_sort: bool = False) -> SceneArrays:
         f32, i32 = np.float32, np.int32
 
         ns = _pad_to(len(self._spheres))
@@ -335,6 +360,18 @@ class SceneBuilder:
             quad_q[i], quad_u[i], quad_v[i] = q, u, v
             quad_mat[i] = m
             quad_valid[i] = True
+
+        if spatial_sort:
+            ps = self._morton_perm(sphere_c0 + 0.5 * sphere_dc,
+                                   sphere_valid)
+            sphere_c0, sphere_dc = sphere_c0[ps], sphere_dc[ps]
+            sphere_t0, sphere_inv_dt = sphere_t0[ps], sphere_inv_dt[ps]
+            sphere_radius, sphere_mat = sphere_radius[ps], sphere_mat[ps]
+            sphere_valid = sphere_valid[ps]
+            pq = self._morton_perm(quad_q + 0.5 * (quad_u + quad_v),
+                                   quad_valid)
+            quad_q, quad_u, quad_v = quad_q[pq], quad_u[pq], quad_v[pq]
+            quad_mat, quad_valid = quad_mat[pq], quad_valid[pq]
 
         nd = _pad_to(len(self._media), lane=8)
         med_btype = np.zeros((nd,), i32)

@@ -212,3 +212,138 @@ def test_megakernel_multi_step():
                      (thr2.z, thr.z)):
         close = (np.abs(np.asarray(got) - np.asarray(exp)) < 1e-3)[agree]
         assert close.mean() > 0.97, close.mean()
+
+
+def test_whole_tile_cull_exact():
+    """Whole-tile AABB culling must be behavior-preserving: bounce_steps
+    with tile bounds produces bit-identical state to bounce_steps
+    without them (a cull may only skip tiles no lane can hit)."""
+    from rrt_tpu.scenes import rttnw_final_scene
+    scene, cam = rttnw_final_scene(32, 18)
+    n = 512
+    ids = jnp.arange(n, dtype=jnp.int32)
+    px, py = ids % 32, (ids // 32) % 18
+    keys = rng.sample_keys(jax.random.key(2),
+                           (py * 32 + px).astype(jnp.uint32), 0)
+    o, d, tm = generate_rays(cam, px, py, 32, 18, keys)
+    st = mk.pack_state(o, d, tm, V3.ones((n,)), V3.zeros((n,)),
+                       jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool),
+                       jnp.zeros((n,)))
+    sb = mk.pack_sphere_bounds(scene)
+    qb = mk.pack_quad_bounds(scene)
+    assert (scene.n_spheres // mk.TS >= mk.CULL_MIN_TILES
+            or scene.n_quads // mk.TS >= mk.CULL_MIN_TILES)
+    kw = dict(k_steps=2, moving=scene.has_moving, has_quads=True,
+              has_perlin=scene.has_perlin, has_images=scene.has_images,
+              img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
+              n_media=scene.n_media if scene.has_media else 0,
+              max_depth=50, t_min=1e-3)
+    atlas = mk.pack_atlas(scene)
+    ref = mk.bounce_steps(st, keys, mk.pack_spheres_full(scene),
+                          mk.pack_quads_full(scene), mk.pack_media(scene),
+                          mk.pack_bg(scene), atlas, **kw)
+    cul = mk.bounce_steps(st, keys, mk.pack_spheres_full(scene),
+                          mk.pack_quads_full(scene), mk.pack_media(scene),
+                          mk.pack_bg(scene), atlas, sb, qb, **kw)
+    np.testing.assert_array_equal(np.asarray(cul), np.asarray(ref))
+
+
+def test_tile_renderer_matches_queue():
+    """The one-launch tile-resident renderer (render_image_tiles) agrees
+    with the queue driver: identical sample set and keys; differences
+    are limited to f32 near-tie winner flips (in-kernel camera math may
+    fuse differently than the XLA refill's)."""
+    from rrt_tpu.render import (RenderConfig, render_image_queue,
+                                render_image_tiles)
+    w, h, spp = 64, 32, 4
+    for build in (chap12_scene, cornell_box_scene):
+        scene, cam = build(w, h)
+        cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=8,
+                           queue_size=2048)
+        iq, nq = render_image_queue(scene, cam, cfg, 0)
+        it, nt = render_image_tiles(scene, cam, cfg, 0)
+        a, b = np.asarray(iq), np.asarray(it)
+        close = np.abs(a - b).max(axis=2) < 1e-3
+        assert close.mean() > 0.995, close.mean()
+        assert abs(float(nt) - float(nq)) / float(nq) < 5e-3
+
+
+def test_tile_renderer_chains():
+    """chains>1: each lane walks several pixels' sample chains; the
+    image must match chains=1 exactly (same keys, same accumulation
+    order per pixel)."""
+    from rrt_tpu import rng as _rng
+    from rrt_tpu.render import RenderConfig
+    w, h, spp = 64, 32, 4
+    scene, cam = chap12_scene(w, h)
+    s0, s1 = _rng._seed_words(jax.random.key(0))
+    seed2 = jnp.stack([s0, s1, jnp.uint32(0),
+                       jnp.uint32(0)]).astype(jnp.uint32)
+    cam24 = mk.pack_camera(cam, w, h)
+    sph24 = mk.pack_spheres_full(scene)
+    quad24 = jnp.zeros((24, mk.TS), jnp.float32)
+
+    def run(chains):
+        meta = mk.pack_pixel_meta(w, h, chains * mk.TN)
+        out = mk.render_tiles(meta, seed2, cam24, sph24, quad24,
+                              mk.pack_media(scene), mk.pack_bg(scene),
+                              None, None, None, spp=spp, chains=chains,
+                              moving=False, has_quads=False, n_media=0,
+                              max_depth=8, t_min=1e-3)
+        return np.asarray(out[0:3, :w * h]), float(out[3].sum())
+
+    r1, n1 = run(1)
+    r4, n4 = run(4)
+    assert n1 == n4
+    np.testing.assert_array_equal(r1, r4)
+
+
+def test_tile_renderer_ragged_resolution():
+    """Resolutions that don't divide the 32x16 pixel rectangles produce
+    mixed valid/invalid meta tiles. A lane retires when its *next* chain
+    pixel is invalid, so pack_pixel_meta must sort each lane's chain
+    sequence valid-first or mid-sequence invalids orphan later valid
+    chains (black-rectangle corruption seen at 1200x800, chains=16)."""
+    from rrt_tpu import rng as _rng
+    from rrt_tpu.render import RenderConfig
+    w, h, spp = 72, 40, 2  # gx=3, gy=3: right column + bottom row mixed
+    scene, cam = chap12_scene(w, h)
+    s0, s1 = _rng._seed_words(jax.random.key(0))
+    seed2 = jnp.stack([s0, s1, jnp.uint32(0),
+                       jnp.uint32(0)]).astype(jnp.uint32)
+    cam24 = mk.pack_camera(cam, w, h)
+    sph24 = mk.pack_spheres_full(scene)
+    quad24 = jnp.zeros((24, mk.TS), jnp.float32)
+
+    def run(chains):
+        meta = mk.pack_pixel_meta(w, h, chains * mk.TN)
+        out = mk.render_tiles(meta, seed2, cam24, sph24, quad24,
+                              mk.pack_media(scene), mk.pack_bg(scene),
+                              None, None, None, spp=spp, chains=chains,
+                              moving=False, has_quads=False, n_media=0,
+                              max_depth=8, t_min=1e-3)
+        out = np.asarray(out)
+        gid = np.asarray(meta[2]).astype(np.int64)
+        validf = np.asarray(meta[3])
+        rad = np.zeros((w * h, 3), np.float32)
+        np.add.at(rad, gid, (out[0:3] * validf).T)
+        return rad
+
+    r1 = run(1)
+    r4 = run(4)
+    # chains=1 cannot orphan (one pixel per lane); exact equality means
+    # chains=4 rendered every pixel's full sample set too. (A handful of
+    # pixels are legitimately black: depth-capped trapped paths.)
+    np.testing.assert_array_equal(r1, r4)
+    # Cross-check against the queue driver: orphaned chains would show
+    # as whole black rectangles and crater the match fraction.
+    from rrt_tpu.render import render_image_queue
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=8,
+                       queue_size=2048)
+    iq, _ = render_image_queue(scene, cam, cfg, 0)
+    img4 = (r4 / spp).reshape(h, w, 3)
+    close = np.abs(np.asarray(iq) - img4).max(axis=2) < 1e-3
+    # At spp=2 one near-tie winner flip moves half a pixel's radiance,
+    # so ~1% of pixels differ legitimately; a single orphaned 16x16
+    # rectangle would already cost ~9% of the 72x40 image.
+    assert close.mean() > 0.98, close.mean()
