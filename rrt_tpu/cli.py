@@ -105,7 +105,8 @@ def main(argv=None):
     t0 = time.time()
     scene, camera = SCENES[args.scene](width, height)
     log(f"scene built in {time.time() - t0:.2f}s "
-        f"({scene.n_spheres} sphere slots, {scene.n_quads} quad slots)")
+        f"({scene.n_spheres} sphere slots, {scene.n_quads} quad slots, "
+        f"{scene.n_boxes if scene.has_boxes else 0} box slots)")
 
     if args.driver == "tile":
         import rrt_tpu.ops.megakernel as _mk

@@ -33,6 +33,7 @@ from .scene import SceneArrays
 DIFFERENTIABLE_FIELDS = (
     "sphere_c0", "sphere_dc", "sphere_radius",
     "quad_q", "quad_u", "quad_v",
+    "box_center", "box_half",
     "med_center", "med_radius", "med_half", "med_neg_inv_density",
     "mat_fuzz", "mat_ior",
     "tex_color1", "tex_color2", "tex_scale",

@@ -31,6 +31,7 @@ FAM_NONE = -1
 FAM_SPHERE = 0
 FAM_QUAD = 1
 FAM_MEDIUM = 2
+FAM_BOX = 3
 
 
 @jax.tree_util.register_dataclass
@@ -162,6 +163,56 @@ def intersect_quads(scene: SceneArrays, o: V3, d: V3, t_min, t_max):
     return jnp.min(t_hit, axis=-1), idx
 
 
+def intersect_boxes(scene: SceneArrays, o: V3, d: V3, t_min, t_max):
+    """Closest valid box per ray: slab test in each box's frame.
+
+    Boxes are axis-aligned with a baked world-Y rotation (scene.box_cos/
+    box_sin are world-from-box). A ray starting inside a box hits the far
+    slab face — the same behavior as the books' 6-quad decomposition,
+    whose near faces fail the t > t_min window. Parallel axes follow the
+    inside/outside convention of the medium OBB test above."""
+    cx = scene.box_center[None, :, 0]  # (1,B)
+    cy = scene.box_center[None, :, 1]
+    cz = scene.box_center[None, :, 2]
+    cth = scene.box_cos[None, :]
+    sth = scene.box_sin[None, :]
+
+    wx = _col(o.x) - cx  # (N,B)
+    wy = _col(o.y) - cy
+    wz = _col(o.z) - cz
+    # box = R^T @ world (R = rot_y: [[c,0,s],[0,1,0],[-s,0,c]]).
+    obx = cth * wx - sth * wz
+    oby = wy
+    obz = sth * wx + cth * wz
+    dbx = cth * _col(d.x) - sth * _col(d.z)
+    dby = jnp.broadcast_to(_col(d.y), obx.shape)
+    dbz = sth * _col(d.x) + cth * _col(d.z)
+
+    lo = jnp.full_like(obx, -INF)
+    hi = jnp.full_like(obx, INF)
+    for ob, db, hk in ((obx, dbx, scene.box_half[None, :, 0]),
+                       (oby, dby, scene.box_half[None, :, 1]),
+                       (obz, dbz, scene.box_half[None, :, 2])):
+        inv_db = _safe_div(jnp.ones_like(db), db, eps=1e-12)
+        t1 = (-hk - ob) * inv_db
+        t2 = (hk - ob) * inv_db
+        klo = jnp.minimum(t1, t2)
+        khi = jnp.maximum(t1, t2)
+        parallel = jnp.abs(db) <= 1e-12
+        inside = jnp.abs(ob) <= hk
+        klo = jnp.where(parallel, jnp.where(inside, -INF, INF), klo)
+        khi = jnp.where(parallel, jnp.where(inside, INF, -INF), khi)
+        lo = jnp.maximum(lo, klo)
+        hi = jnp.minimum(hi, khi)
+
+    t = jnp.where(lo > _col(t_min), lo, hi)
+    ok = (scene.box_valid[None, :] & (lo < hi)
+          & (t > _col(t_min)) & (t < _col(t_max)))
+    t_hit = jnp.where(ok, t, INF)
+    idx = jnp.argmin(t_hit, axis=-1).astype(jnp.int32)
+    return jnp.min(t_hit, axis=-1), idx
+
+
 def _medium_interval(scene: SceneArrays, o: V3, d: V3):
     """(t_enter, t_exit, valid) of each ray with each medium boundary over
     the unbounded line, shapes (N,D). Media are few (<=8), so a python
@@ -241,13 +292,17 @@ def intersect_media(scene: SceneArrays, o: V3, d: V3, t_min, t_max,
 
 
 def merge_solid_medium(scene: SceneArrays, o: V3, d: V3, t_min, t_max,
-                       u_med, ts, is_, tq, iq):
+                       u_med, ts, is_, tq, iq, tb=None, ib=None):
     """Merge per-family closest hits into (t, family, idx, hit_mask).
 
     Media are intersected here against a t_max already shrunk by the
     closest solid hit, matching the books' behavior where a scatter event
-    beyond the containing boundary cannot occur."""
-    t_solid = jnp.minimum(ts, tq)
+    beyond the containing boundary cannot occur. Solid ties break
+    sphere <= box <= quad (measure-zero)."""
+    if tb is None:
+        tb = jnp.full_like(ts, INF)
+        ib = jnp.zeros_like(is_)
+    t_solid = jnp.minimum(jnp.minimum(ts, tq), tb)
     if scene.has_media:
         tm, im = intersect_media(scene, o, d, t_min,
                                  jnp.minimum(t_max, t_solid), u_med)
@@ -256,9 +311,13 @@ def merge_solid_medium(scene: SceneArrays, o: V3, d: V3, t_min, t_max,
         im = jnp.zeros_like(is_)
 
     t = jnp.minimum(t_solid, tm)
-    fam = jnp.where(
-        tm < t_solid, FAM_MEDIUM, jnp.where(ts <= tq, FAM_SPHERE, FAM_QUAD))
-    idx = jnp.where(tm < t_solid, im, jnp.where(ts <= tq, is_, iq))
+    use_s = ts <= jnp.minimum(tq, tb)
+    use_b = (~use_s) & (tb <= tq)
+    fam_solid = jnp.where(use_s, FAM_SPHERE,
+                          jnp.where(use_b, FAM_BOX, FAM_QUAD))
+    idx_solid = jnp.where(use_s, is_, jnp.where(use_b, ib, iq))
+    fam = jnp.where(tm < t_solid, FAM_MEDIUM, fam_solid)
+    idx = jnp.where(tm < t_solid, im, idx_solid)
     hit_mask = t < INF
     fam = jnp.where(hit_mask, fam, FAM_NONE).astype(jnp.int32)
     return t, fam, idx, hit_mask
@@ -275,8 +334,12 @@ def intersect_all(scene: SceneArrays, o: V3, d: V3, time, t_min, t_max,
     else:
         tq = jnp.full_like(ts, INF)
         iq = jnp.zeros_like(is_)
+    if scene.has_boxes:
+        tb, ib = intersect_boxes(scene, o, d, t_min, t_max)
+    else:
+        tb, ib = None, None
     return merge_solid_medium(scene, o, d, t_min, t_max, u_med, ts, is_,
-                              tq, iq)
+                              tq, iq, tb, ib)
 
 
 def make_hit(scene: SceneArrays, o: V3, d: V3, time, t, fam, idx) -> Hit:
@@ -291,6 +354,7 @@ def make_hit(scene: SceneArrays, o: V3, d: V3, time, t, fam, idx) -> Hit:
     is_sphere = fam == FAM_SPHERE
     is_quad = fam == FAM_QUAD
     is_medium = fam == FAM_MEDIUM
+    is_box = fam == FAM_BOX
 
     # --- sphere details (gathered for the winner only) -------------------
     si = jnp.where(is_sphere, idx, 0)
@@ -327,6 +391,34 @@ def make_hit(scene: SceneArrays, o: V3, d: V3, time, t, fam, idx) -> Hit:
         v_quad = jnp.zeros((n,), jnp.float32)
         mat_quad = jnp.zeros((n,), jnp.int32)
 
+    # --- box details -------------------------------------------------------
+    if scene.has_boxes:
+        bi = jnp.where(is_box, idx, 0)
+        bc = V3.from_array(scene.box_center).gather(bi)
+        bh = V3.from_array(scene.box_half).gather(bi)
+        cth = scene.box_cos[bi]
+        sth = scene.box_sin[bi]
+        w = p - bc
+        qx = cth * w.x - sth * w.z
+        qy = w.y
+        qz = sth * w.x + cth * w.z
+        # Hit face = the axis whose |q_k| - h_k is largest (~0 on the
+        # face, negative on the others); normal = +-axis, rotated back.
+        fx = jnp.abs(qx) - bh.x
+        fy = jnp.abs(qy) - bh.y
+        fz = jnp.abs(qz) - bh.z
+        use_x = (fx >= fy) & (fx >= fz)
+        use_y = (~use_x) & (fy >= fz)
+        nbx = jnp.where(use_x, jnp.sign(qx), 0.0)
+        nby = jnp.where(use_y, jnp.sign(qy), 0.0)
+        nbz = jnp.where(use_x | use_y, 0.0, jnp.sign(qz))
+        outward_b = V3(cth * nbx + sth * nbz, nby,
+                       -sth * nbx + cth * nbz)
+        mat_box = scene.box_mat[bi]
+    else:
+        outward_b = V3.zeros((n,))
+        mat_box = jnp.zeros((n,), jnp.int32)
+
     # --- medium details --------------------------------------------------
     if scene.has_media:
         mi = jnp.where(is_medium, idx, 0)
@@ -336,17 +428,23 @@ def make_hit(scene: SceneArrays, o: V3, d: V3, time, t, fam, idx) -> Hit:
 
     outward = V3.where(is_sphere, outward_s,
                        V3.where(is_quad, outward_q,
-                                V3(jnp.ones((n,), jnp.float32),
-                                   jnp.zeros((n,), jnp.float32),
-                                   jnp.zeros((n,), jnp.float32))))
+                                V3.where(is_box, outward_b,
+                                         V3(jnp.ones((n,), jnp.float32),
+                                            jnp.zeros((n,), jnp.float32),
+                                            jnp.zeros((n,),
+                                                      jnp.float32)))))
     # Medium "hits" are volumetric: front_face is defined true and the
     # normal is arbitrary (RTTNW ch. 9).
     front_face = jnp.where(is_medium, True, d.dot(outward) < 0.0)
     normal = V3.where(front_face, outward, -outward)
 
-    mat_id = jnp.where(is_sphere, mat_sphere,
-                       jnp.where(is_quad, mat_quad, mat_medium)).astype(
-                           jnp.int32)
+    mat_id = jnp.where(
+        is_sphere, mat_sphere,
+        jnp.where(is_quad, mat_quad,
+                  jnp.where(is_box, mat_box, mat_medium))).astype(
+                      jnp.int32)
+    # Box uv is unused: image-textured boxes are emitted as 6 quads at
+    # build time (SceneBuilder.box), and checker/perlin sample p directly.
     u = jnp.where(is_sphere, u_sphere,
                   jnp.where(is_quad, u_quad, 0.0))
     v = jnp.where(is_sphere, v_sphere,

@@ -26,12 +26,28 @@ INF = np.float32(3.0e38)
 
 
 class GoldenScene:
-    """NumPy view of SceneArrays."""
+    """NumPy view of SceneArrays.
+
+    Box-family primitives are expanded into the books' 6-quad
+    decomposition (scene.boxes_as_quads): the golden stays a direct
+    transcription of the books, and the device's one-slab-test box is
+    validated against it."""
 
     def __init__(self, scene):
         for f in scene.__dataclass_fields__:
             v = getattr(scene, f)
             setattr(self, f, np.asarray(v) if hasattr(v, "shape") else v)
+        if getattr(scene, "has_boxes", False):
+            from .scene import boxes_as_quads
+            q, u, v, m = boxes_as_quads(self.box_center, self.box_half,
+                                        self.box_cos, self.box_sin,
+                                        self.box_mat, self.box_valid)
+            self.quad_q = np.concatenate([self.quad_q, q])
+            self.quad_u = np.concatenate([self.quad_u, u])
+            self.quad_v = np.concatenate([self.quad_v, v])
+            self.quad_mat = np.concatenate([self.quad_mat, m])
+            self.quad_valid = np.concatenate(
+                [self.quad_valid, np.ones(len(m), bool)])
 
 
 def extract_draws(keys, n_media, max_depth):

@@ -114,9 +114,31 @@ def trace(scene, o, d, time, draws, max_depth, t_min=1.0e-3):
     for name in ("sphere_valid", "quad_valid", "med_valid"):
         keep[name] = u8(name)
 
+    n_quads = scene.n_quads
+    if getattr(scene, "has_boxes", False):
+        # The C++ tracer stays quad-only: expand the box family into the
+        # books' 6-quad decomposition (same as golden.GoldenScene).
+        from .scene import boxes_as_quads
+        bq, bu, bv, bm = boxes_as_quads(
+            np.asarray(scene.box_center), np.asarray(scene.box_half),
+            np.asarray(scene.box_cos), np.asarray(scene.box_sin),
+            np.asarray(scene.box_mat), np.asarray(scene.box_valid))
+        keep["quad_q"] = np.ascontiguousarray(
+            np.concatenate([keep["quad_q"], bq]), np.float32)
+        keep["quad_u"] = np.ascontiguousarray(
+            np.concatenate([keep["quad_u"], bu]), np.float32)
+        keep["quad_v"] = np.ascontiguousarray(
+            np.concatenate([keep["quad_v"], bv]), np.float32)
+        keep["quad_mat"] = np.ascontiguousarray(
+            np.concatenate([keep["quad_mat"], bm]), np.int32)
+        keep["quad_valid"] = np.ascontiguousarray(
+            np.concatenate([keep["quad_valid"],
+                            np.ones(len(bm), np.uint8)]), np.uint8)
+        n_quads += len(bm)
+
     cs = _CScene()
     cs.n_spheres = scene.n_spheres
-    cs.n_quads = scene.n_quads
+    cs.n_quads = n_quads
     cs.n_media = scene.n_media
     images = keep["images"]
     cs.n_images, cs.img_h, cs.img_w = images.shape[0], images.shape[1], \

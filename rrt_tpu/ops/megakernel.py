@@ -148,6 +148,28 @@ def pack_quads_full(scene: SceneArrays):
     return mat
 
 
+def pack_boxes_full(scene: SceneArrays):
+    """(24, B) box-family pack: 0-2 center | 3-5 half | 6 cos | 7 sin
+    | 8 valid | 9 mat_type | 10 aux | 11-13 color1 | 14-16 color2
+    | 17 tex_type | 18 tex_scale | 19-23 pad. Image textures never land
+    on box slots (SceneBuilder emits those boxes as 6 quads), so no
+    atlas index row is needed."""
+    mtype, aux, c1, c2, textype, texscale = _mat_rows(scene,
+                                                      scene.box_mat)
+    b = scene.box_half.shape[0]
+    pad = jnp.zeros((5, b), jnp.float32)
+    mat = jnp.concatenate([
+        scene.box_center.T, scene.box_half.T,
+        scene.box_cos[None], scene.box_sin[None],
+        scene.box_valid.astype(jnp.float32)[None],
+        mtype[None], aux[None], c1.T, c2.T, textype[None],
+        texscale[None], pad], axis=0)
+    target = _round_up(b, TS)
+    if target != b:
+        mat = jnp.pad(mat, ((0, 0), (0, target - b)))
+    return mat
+
+
 def pack_media(scene: SceneArrays):
     """(D, 24) f32 SMEM table, one row per medium slot:
     0 btype | 1-3 center | 4 radius | 5-7 half | 8-16 rot (row major,
@@ -222,6 +244,27 @@ def pack_sphere_bounds(scene: SceneArrays):
         lo = jnp.pad(lo, ((0, target - s), (0, 0)))
         hi = jnp.pad(hi, ((0, target - s), (0, 0)))
     valid = jnp.pad(scene.sphere_valid, (0, target - s))
+    return _tile_bounding_aabbs(lo, hi, valid)
+
+
+def pack_box_bounds(scene: SceneArrays):
+    """(b_tiles, 8) AABBs over pack-order box tiles (world AABB of each
+    rotated box: |R| @ half extent around the center)."""
+    h = scene.box_half
+    ac = jnp.abs(scene.box_cos)[:, None]
+    as_ = jnp.abs(scene.box_sin)[:, None]
+    ex = ac * h[:, 0:1] + as_ * h[:, 2:3]
+    ey = h[:, 1:2]
+    ez = as_ * h[:, 0:1] + ac * h[:, 2:3]
+    e = jnp.concatenate([ex, ey, ez], axis=1)
+    lo = scene.box_center - e
+    hi = scene.box_center + e
+    b = h.shape[0]
+    target = _round_up(b, TS)
+    if target != b:
+        lo = jnp.pad(lo, ((0, target - b), (0, 0)))
+        hi = jnp.pad(hi, ((0, target - b), (0, 0)))
+    valid = jnp.pad(scene.box_valid, (0, target - b))
     return _tile_bounding_aabbs(lo, hi, valid)
 
 
@@ -389,11 +432,13 @@ def _select_winner(blk, t_cand, base_idx, t_best, attrs_best, idx_best):
     return t_best, attrs_best, idx_best
 
 
-def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
-                       atlas_ref, bg_ref, sb_ref, qb_ref, state_out_ref,
-                       *, k_steps, s_tiles, q_tiles, moving, has_quads,
+def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
+                       med_ref, atlas_ref, bg_ref, sb_ref, qb_ref, bb_ref,
+                       state_out_ref,
+                       *, k_steps, s_tiles, q_tiles, b_tiles, moving,
+                       has_quads, has_boxes, has_rot_boxes,
                        has_perlin, has_images, img_ah, img_aw, n_media,
-                       t_min, max_depth, cull_s, cull_q):
+                       t_min, max_depth, cull_s, cull_q, cull_b):
     st = state_ref[:, :]  # (16, TN)
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
@@ -416,14 +461,20 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, med_ref,
                           has_images=has_images, img_ah=img_ah,
                           img_aw=img_aw, n_media=n_media, t_min=t_min,
                           max_depth=max_depth, sb_ref=sb_ref,
-                          qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
+                          qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
+                          box_ref=box_ref, b_tiles=b_tiles,
+                          has_boxes=has_boxes,
+                          has_rot_boxes=has_rot_boxes, bb_ref=bb_ref,
+                          cull_b=cull_b)
 
 
 def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       bg_ref, state_out_ref, *, k_steps, s_tiles, q_tiles,
                       moving, has_quads, has_perlin, has_images, img_ah,
                       img_aw, n_media, t_min, max_depth, sb_ref=None,
-                      qb_ref=None, cull_s=False, cull_q=False):
+                      qb_ref=None, cull_s=False, cull_q=False,
+                      box_ref=None, b_tiles=0, has_boxes=False,
+                      has_rot_boxes=False, bb_ref=None, cull_b=False):
     # fori_loop over steps (kernel size independent of K) with a
     # whole-tile alive check per step: once every lane in the tile has
     # died, the remaining steps cost one scalar branch each — so a
@@ -440,7 +491,9 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             has_quads=has_quads, has_perlin=has_perlin,
             has_images=has_images, img_ah=img_ah, img_aw=img_aw,
             n_media=n_media, t_min=t_min, max_depth=max_depth,
-            sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
+            sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
+            box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
+            has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
         return rows2[:14] + (rows2[14].astype(jnp.float32),) + rows2[15:]
 
     def step(_k, rows_f):
@@ -474,7 +527,9 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 bg_ref, *, s_tiles, q_tiles, moving, has_quads,
                 has_perlin, has_images, img_ah, img_aw, n_media, t_min,
                 max_depth, want_aux=False, sb_ref=None, qb_ref=None,
-                cull_s=False, cull_q=False):
+                cull_s=False, cull_q=False, box_ref=None, b_tiles=0,
+                has_boxes=False, has_rot_boxes=False, bb_ref=None,
+                cull_b=False):
     """One fused bounce step on (1,TN) state rows.
 
     Shared by the forward megakernel (want_aux=False) and the backward
@@ -490,7 +545,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         inv_a = 1.0 / a
         d_len = jnp.sqrt(a)
 
-        if cull_s or cull_q:
+        if cull_s or cull_q or cull_b:
             # Whole-tile AABB culling: one slab test per (ray-tile,
             # prim-tile) pair gates the TS-wide evaluation — the TPU
             # answer to the reference's BVH walk
@@ -584,6 +639,84 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             q_sel = None  # no quad family packed
             t_q = jnp.full((1, TN), INF, jnp.float32)
 
+        # --- box family (slab test; RTTNW's box as ONE primitive slot
+        # instead of the books' 6 quads — the ground of the RTTNW final
+        # scene drops from 2400 quad slots to 400 box slots). Seeded by
+        # the quad winner; seeds the sphere loop below. -------------------
+        if has_boxes:
+            def box_tile_full(bi, carry):
+                t_b, b_sel, i_b = carry
+                off = pl.multiple_of(bi * TS, TS)
+                blk = box_ref[:, pl.ds(off, TS)]
+                bcx = blk[0:1].T
+                bcy = blk[1:2].T
+                bcz = blk[2:3].T
+                bhx = blk[3:4].T
+                bhy = blk[4:5].T
+                bhz = blk[5:6].T
+                valid = blk[8:9].T > 0.5
+                wx = ox - bcx  # (TS, TN)
+                wy = oy - bcy
+                wz = oz - bcz
+                if has_rot_boxes:
+                    cthb = blk[6:7].T
+                    sthb = blk[7:8].T
+                    obx = cthb * wx - sthb * wz
+                    obz = sthb * wx + cthb * wz
+                    dbx = cthb * dx - sthb * dz
+                    dbz = sthb * dx + cthb * dz
+                else:
+                    # (1,TN) direction rows broadcast against the
+                    # (TS,TN) slab terms — no per-slot direction math.
+                    obx, obz = wx, wz
+                    dbx, dbz = dx, dz
+                oby = wy
+                dby = dy
+
+                lo = jnp.full(wx.shape, -INF, jnp.float32)
+                hi = jnp.full(wx.shape, INF, jnp.float32)
+                for ob, db, hk in ((obx, dbx, bhx), (oby, dby, bhy),
+                                   (obz, dbz, bhz)):
+                    par = jnp.abs(db) <= 1e-12
+                    inv_db = 1.0 / jnp.where(par, 1.0, db)
+                    t1 = (-hk - ob) * inv_db
+                    t2 = (hk - ob) * inv_db
+                    klo = jnp.minimum(t1, t2)
+                    khi = jnp.maximum(t1, t2)
+                    inside = jnp.abs(ob) <= hk
+                    big = jnp.where(inside, INF, -INF)
+                    klo = jnp.where(par, -big, klo)
+                    khi = jnp.where(par, big, khi)
+                    lo = jnp.maximum(lo, klo)
+                    hi = jnp.minimum(hi, khi)
+                # Inside-start rays hit the far face (the 6-quad
+                # decomposition's near faces fail the t window).
+                t = jnp.where(lo > t_min, lo, hi)
+                ok = (valid & (lo < hi) & (t > t_min) & (t < t_b))
+                t_cand = jnp.where(ok, t, INF)
+                return _select_winner(blk, t_cand,
+                                      bi.astype(jnp.float32) * TS,
+                                      t_b, b_sel, i_b)
+
+            if cull_b:
+                def box_tile(bi, carry):
+                    return jax.lax.cond(
+                        jnp.any(tile_poss(bb_ref, bi, carry[0])),
+                        lambda c: box_tile_full(bi, c),
+                        lambda c: c, carry)
+            else:
+                box_tile = box_tile_full
+
+            t_b, b_sel, i_b = jax.lax.fori_loop(
+                0, b_tiles, box_tile,
+                (t_q,  # seeded: boxes must beat the quad winner
+                 jnp.zeros((24, TN), jnp.float32),
+                 jnp.zeros((1, TN), jnp.float32)))
+        else:
+            i_b = jnp.zeros((1, TN), jnp.float32)
+            b_sel = None  # no box family packed
+            t_b = t_q
+
         # --- sphere family ----------------------------------------------
         # fori_loop (not python unroll): Mosaic keeps every unrolled
         # iteration's temporaries on the scoped VMEM stack.
@@ -634,15 +767,22 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
 
         t_s, s_sel, i_s = jax.lax.fori_loop(
             0, s_tiles, sphere_tile,
-            (t_q,  # seeded: spheres must beat the quad winner
+            (t_b,  # seeded: spheres must beat the quad/box winner
              jnp.zeros((24, TN), jnp.float32),
              jnp.zeros((1, TN), jnp.float32)))
 
-        # t_s is already min(quad winner, best sphere). A sphere won only
-        # if it strictly beat the seed (exact sphere/quad t ties now
-        # break to the quad; measure-zero).
+        # Each family loop is seeded by the previous winner (quad -> box
+        # -> sphere), so t_s is already the global solid minimum. A later
+        # family won only if it strictly beat its seed (exact cross-family
+        # t ties break to the earlier family; measure-zero).
+        sphere_won = t_s < t_b
+        if has_boxes:
+            use_b = jnp.logical_not(sphere_won) & (t_b < t_q)
+        else:
+            use_b = jnp.zeros((1, TN), bool)
         if has_quads:
-            use_q = jnp.logical_not(t_s < t_q) & (t_q < INF)
+            use_q = (jnp.logical_not(sphere_won)
+                     & jnp.logical_not(use_b) & (t_q < INF))
         else:
             use_q = jnp.zeros((1, TN), bool)
         t_hit = t_s
@@ -751,29 +891,77 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         sony = (py_ - scy) * inv_r
         sonz = (pz_ - scz) * inv_r
 
+        outx, outy, outz = sonx, sony, sonz
+        mtype, aux = s_sel[8:9], s_sel[9:10]
+        c1r, c1g, c1b = s_sel[10:11], s_sel[11:12], s_sel[12:13]
+        c2r, c2g, c2b = s_sel[13:14], s_sel[14:15], s_sel[15:16]
+        textype, texscale = s_sel[16:17], s_sel[17:18]
+
+        if has_boxes:
+            # Winner-box outward normal: face = axis whose |q_k| - h_k is
+            # largest at the hit point (~0 on the hit face), in the box
+            # frame; rotate back with the winner's cos/sin.
+            bwx = px_ - b_sel[0:1]
+            bwy = py_ - b_sel[1:2]
+            bwz = pz_ - b_sel[2:3]
+            if has_rot_boxes:
+                cthw = b_sel[6:7]
+                sthw = b_sel[7:8]
+                bqx = cthw * bwx - sthw * bwz
+                bqz = sthw * bwx + cthw * bwz
+            else:
+                bqx, bqz = bwx, bwz
+            bqy = bwy
+            fxb = jnp.abs(bqx) - b_sel[3:4]
+            fyb = jnp.abs(bqy) - b_sel[4:5]
+            fzb = jnp.abs(bqz) - b_sel[5:6]
+            use_xb = (fxb >= fyb) & (fxb >= fzb)
+            use_yb = jnp.logical_not(use_xb) & (fyb >= fzb)
+            sgnx = jnp.where(bqx >= 0.0, 1.0, -1.0)
+            sgny = jnp.where(bqy >= 0.0, 1.0, -1.0)
+            sgnz = jnp.where(bqz >= 0.0, 1.0, -1.0)
+            xbf = use_xb.astype(jnp.float32)
+            ybf = use_yb.astype(jnp.float32)
+            zbf = 1.0 - xbf - ybf
+            nbx = xbf * sgnx
+            nby = ybf * sgny
+            nbz = zbf * sgnz
+            if has_rot_boxes:
+                bnx = cthw * nbx + sthw * nbz
+                bnz = -sthw * nbx + cthw * nbz
+            else:
+                bnx, bnz = nbx, nbz
+            outx = jnp.where(use_b, bnx, outx)
+            outy = jnp.where(use_b, nby, outy)
+            outz = jnp.where(use_b, bnz, outz)
+            mtype = jnp.where(use_b, b_sel[9:10], mtype)
+            aux = jnp.where(use_b, b_sel[10:11], aux)
+            c1r = jnp.where(use_b, b_sel[11:12], c1r)
+            c1g = jnp.where(use_b, b_sel[12:13], c1g)
+            c1b = jnp.where(use_b, b_sel[13:14], c1b)
+            c2r = jnp.where(use_b, b_sel[14:15], c2r)
+            c2g = jnp.where(use_b, b_sel[15:16], c2g)
+            c2b = jnp.where(use_b, b_sel[16:17], c2b)
+            textype = jnp.where(use_b, b_sel[17:18], textype)
+            texscale = jnp.where(use_b, b_sel[18:19], texscale)
+
         if has_quads:
             qinv = jax.lax.rsqrt(jnp.maximum(
                 q_sel[0:1] ** 2 + q_sel[1:2] ** 2 + q_sel[2:3] ** 2,
                 1e-20))
-            outx = jnp.where(use_q, q_sel[0:1] * qinv, sonx)
-            outy = jnp.where(use_q, q_sel[1:2] * qinv, sony)
-            outz = jnp.where(use_q, q_sel[2:3] * qinv, sonz)
-            mtype = jnp.where(use_q, q_sel[14:15], s_sel[8:9])
-            aux = jnp.where(use_q, q_sel[15:16], s_sel[9:10])
-            c1r = jnp.where(use_q, q_sel[16:17], s_sel[10:11])
-            c1g = jnp.where(use_q, q_sel[17:18], s_sel[11:12])
-            c1b = jnp.where(use_q, q_sel[18:19], s_sel[12:13])
-            c2r = jnp.where(use_q, q_sel[19:20], s_sel[13:14])
-            c2g = jnp.where(use_q, q_sel[20:21], s_sel[14:15])
-            c2b = jnp.where(use_q, q_sel[21:22], s_sel[15:16])
-            textype = jnp.where(use_q, q_sel[22:23], s_sel[16:17])
-            texscale = jnp.where(use_q, q_sel[23:24], s_sel[17:18])
-        else:
-            outx, outy, outz = sonx, sony, sonz
-            mtype, aux = s_sel[8:9], s_sel[9:10]
-            c1r, c1g, c1b = s_sel[10:11], s_sel[11:12], s_sel[12:13]
-            c2r, c2g, c2b = s_sel[13:14], s_sel[14:15], s_sel[15:16]
-            textype, texscale = s_sel[16:17], s_sel[17:18]
+            outx = jnp.where(use_q, q_sel[0:1] * qinv, outx)
+            outy = jnp.where(use_q, q_sel[1:2] * qinv, outy)
+            outz = jnp.where(use_q, q_sel[2:3] * qinv, outz)
+            mtype = jnp.where(use_q, q_sel[14:15], mtype)
+            aux = jnp.where(use_q, q_sel[15:16], aux)
+            c1r = jnp.where(use_q, q_sel[16:17], c1r)
+            c1g = jnp.where(use_q, q_sel[17:18], c1g)
+            c1b = jnp.where(use_q, q_sel[18:19], c1b)
+            c2r = jnp.where(use_q, q_sel[19:20], c2r)
+            c2g = jnp.where(use_q, q_sel[20:21], c2g)
+            c2b = jnp.where(use_q, q_sel[21:22], c2b)
+            textype = jnp.where(use_q, q_sel[22:23], textype)
+            texscale = jnp.where(use_q, q_sel[23:24], texscale)
 
         d_dot_out = dx * outx + dy * outy + dz * outz
         front = (d_dot_out < 0.0) | use_med  # medium hits: front true
@@ -981,13 +1169,16 @@ CULL_MIN_TILES = 3
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_steps", "moving", "has_quads", "has_perlin",
+    static_argnames=("k_steps", "moving", "has_quads", "has_boxes",
+                     "has_rot_boxes", "has_perlin",
                      "has_images", "img_ah", "img_aw", "n_media",
                      "max_depth", "t_min"))
 def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
-                 atlas=None, sph_bounds=None, quad_bounds=None, *,
+                 atlas=None, sph_bounds=None, quad_bounds=None,
+                 boxes24=None, box_bounds=None, *,
                  k_steps: int, moving: bool,
-                 has_quads: bool, has_perlin: bool = False,
+                 has_quads: bool, has_boxes: bool = False,
+                 has_rot_boxes: bool = False, has_perlin: bool = False,
                  has_images: bool = False, img_ah: int = 1,
                  img_aw: int = 1, n_media: int = 0, max_depth: int = 50,
                  t_min: float = 1e-3):
@@ -995,8 +1186,9 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
 
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
     quads24 (24, Qd) (dummy (24, TS) zeros when has_quads is False);
-    bg8 (8,) f32 from pack_bg. sph_bounds/quad_bounds: optional
-    (n_tiles, 8) tile AABBs (pack_*_bounds) enabling
+    boxes24 (24, B) box-family pack (pack_boxes_full) when has_boxes;
+    bg8 (8,) f32 from pack_bg. sph_bounds/quad_bounds/box_bounds:
+    optional (n_tiles, 8) tile AABBs (pack_*_bounds) enabling
     whole-tile culling on large scenes. Returns state' (row 15 carries
     the cumulative per-lane traced-ray counts)."""
     q = state.shape[1]
@@ -1006,19 +1198,29 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
 
     if atlas is None:
         atlas = jnp.zeros((8, 128), jnp.float32)
+    if boxes24 is None:
+        boxes24 = jnp.zeros((24, TS), jnp.float32)
+    b_count = boxes24.shape[1]
     cull_s = sph_bounds is not None and s_count // TS >= CULL_MIN_TILES
     cull_q = (quad_bounds is not None and has_quads
               and q_count // TS >= CULL_MIN_TILES)
+    cull_b = (box_bounds is not None and has_boxes
+              and b_count // TS >= CULL_MIN_TILES)
     if sph_bounds is None:
         sph_bounds = jnp.zeros((1, 8), jnp.float32)
     if quad_bounds is None:
         quad_bounds = jnp.zeros((1, 8), jnp.float32)
+    if box_bounds is None:
+        box_bounds = jnp.zeros((1, 8), jnp.float32)
     kern = functools.partial(
         _bounce_megakernel, k_steps=k_steps, s_tiles=s_count // TS,
-        q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
+        q_tiles=q_count // TS, b_tiles=b_count // TS, moving=moving,
+        has_quads=has_quads, has_boxes=has_boxes,
+        has_rot_boxes=has_rot_boxes,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
         img_aw=img_aw, n_media=n_media, t_min=t_min,
-        max_depth=float(max_depth), cull_s=cull_s, cull_q=cull_q)
+        max_depth=float(max_depth), cull_s=cull_s, cull_q=cull_q,
+        cull_b=cull_b)
 
     state_out = pl.pallas_call(
         kern,
@@ -1032,9 +1234,12 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((24, q_count), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, b_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(atlas.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1043,12 +1248,12 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, q), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=k_steps * 40 * q * (s_count + q_count),
+            flops=k_steps * 40 * q * (s_count + q_count + b_count),
             bytes_accessed=4 * (2 * 16 * q + 2 * q
-                                + 24 * (s_count + q_count)),
+                                + 24 * (s_count + q_count + b_count)),
             transcendentals=k_steps * q * 40),
-    )(state, keys, spheres24, quads24, med24, atlas, bg8, sph_bounds,
-      quad_bounds)
+    )(state, keys, spheres24, quads24, boxes24, med24, atlas, bg8,
+      sph_bounds, quad_bounds, box_bounds)
     return state_out
 
 
@@ -1416,11 +1621,13 @@ def _camera_rays(cam_ref, k0, k1, pxr, pyr):
 
 
 def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
-                        med_ref, atlas_ref, bg_ref, sb_ref, qb_ref,
+                        box_ref, med_ref, atlas_ref, bg_ref, sb_ref,
+                        qb_ref, bb_ref,
                         out_ref, *, spp, chains, max_steps, s_tiles,
-                        q_tiles, moving, has_quads, has_perlin,
+                        q_tiles, b_tiles, moving, has_quads, has_boxes,
+                        has_rot_boxes, has_perlin,
                         has_images, img_ah, img_aw, n_media, t_min,
-                        max_depth, cull_s, cull_q):
+                        max_depth, cull_s, cull_q, cull_b):
     # Lane L owns `chains` pixels (one per TN-column block of the meta
     # tile) and traces each pixel's spp samples back-to-back before
     # advancing to the next. More chains per lane averages the straggler
@@ -1433,7 +1640,9 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
               has_quads=has_quads, has_perlin=has_perlin,
               has_images=has_images, img_ah=img_ah, img_aw=img_aw,
               n_media=n_media, t_min=t_min, max_depth=max_depth,
-              sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
+              sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
+              box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
+              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
 
     out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
 
@@ -1532,13 +1741,16 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spp", "chains", "moving", "has_quads", "has_perlin",
+    static_argnames=("spp", "chains", "moving", "has_quads", "has_boxes",
+                     "has_rot_boxes", "has_perlin",
                      "has_images", "img_ah", "img_aw", "n_media",
                      "max_depth", "t_min"))
 def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
-                 atlas=None, sph_bounds=None, quad_bounds=None, *,
+                 atlas=None, sph_bounds=None, quad_bounds=None,
+                 boxes24=None, box_bounds=None, *,
                  spp: int, chains: int = 1, moving: bool = False,
-                 has_quads: bool = False,
+                 has_quads: bool = False, has_boxes: bool = False,
+                 has_rot_boxes: bool = False,
                  has_perlin: bool = False, has_images: bool = False,
                  img_ah: int = 1, img_aw: int = 1, n_media: int = 0,
                  max_depth: int = 50, t_min: float = 1e-3):
@@ -1556,21 +1768,30 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
     block = chains * TN
     if atlas is None:
         atlas = jnp.zeros((8, 128), jnp.float32)
+    if boxes24 is None:
+        boxes24 = jnp.zeros((24, TS), jnp.float32)
+    b_count = boxes24.shape[1]
     cull_s = sph_bounds is not None and s_count // TS >= CULL_MIN_TILES
     cull_q = (quad_bounds is not None and has_quads
               and q_count // TS >= CULL_MIN_TILES)
+    cull_b = (box_bounds is not None and has_boxes
+              and b_count // TS >= CULL_MIN_TILES)
     if sph_bounds is None:
         sph_bounds = jnp.zeros((1, 8), jnp.float32)
     if quad_bounds is None:
         quad_bounds = jnp.zeros((1, 8), jnp.float32)
-    max_steps = chains * spp * (max_depth + 1) + 1
+    if box_bounds is None:
+        box_bounds = jnp.zeros((1, 8), jnp.float32)
+    max_steps = chains * spp * (max_depth + 2) + 1
     kern = functools.partial(
         _tile_render_kernel, spp=spp, chains=chains, max_steps=max_steps,
-        s_tiles=s_count // TS, q_tiles=q_count // TS, moving=moving,
-        has_quads=has_quads, has_perlin=has_perlin,
+        s_tiles=s_count // TS, q_tiles=q_count // TS,
+        b_tiles=b_count // TS, moving=moving,
+        has_quads=has_quads, has_boxes=has_boxes,
+        has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
         has_images=has_images, img_ah=img_ah, img_aw=img_aw,
         n_media=n_media, t_min=t_min, max_depth=float(max_depth),
-        cull_s=cull_s, cull_q=cull_q)
+        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b)
 
     out = pl.pallas_call(
         kern,
@@ -1584,9 +1805,12 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((24, q_count), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, b_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(atlas.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1595,11 +1819,12 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=spp * 3 * 40 * npad * (s_count + q_count),
-            bytes_accessed=4 * (9 * npad + 24 * (s_count + q_count)),
+            flops=spp * 3 * 40 * npad * (s_count + q_count + b_count),
+            bytes_accessed=4 * (9 * npad
+                                + 24 * (s_count + q_count + b_count)),
             transcendentals=spp * 3 * npad * 40),
-    )(meta, seed2, cam24, spheres24, quads24, med24, atlas, bg8,
-      sph_bounds, quad_bounds)
+    )(meta, seed2, cam24, spheres24, quads24, boxes24, med24, atlas, bg8,
+      sph_bounds, quad_bounds, box_bounds)
     return out
 
 

@@ -58,8 +58,11 @@ def supports_backward(scene: SceneArrays) -> bool:
     """Kernel-vjp scope: everything the forward megakernel shades except
     constant media (their stochastic boundary-interval sampling couples
     the solid t_max into the decision; the XLA scan path keeps exact
-    gradients there)."""
-    return mk.supports(scene) and not scene.has_media
+    gradients there) and the box family (the XLA scan path
+    differentiates boxes through geometry.intersect_boxes; the replay
+    kernel does not store box winner attributes yet)."""
+    return mk.supports(scene) and not scene.has_media \
+        and not scene.has_boxes
 
 
 # ---------------------------------------------------------------------------

@@ -340,6 +340,10 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         sb_mk = ops_mega.pack_sphere_bounds(scene)
         qb_mk = (ops_mega.pack_quad_bounds(scene) if scene.has_quads
                  else None)
+        box24_mk = (ops_mega.pack_boxes_full(scene) if scene.has_boxes
+                    else None)
+        bb_mk = (ops_mega.pack_box_bounds(scene) if scene.has_boxes
+                 else None)
         # No near-first ordering (see trace_batch_fused): the traced
         # permutation costs ~100 ms/outer inside the while_loop here.
 
@@ -403,8 +407,10 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
             st, keys, pix, next_s, acc = state
             st = ops_mega.bounce_steps(
                 st, keys, sph24, quad24, med24, bg8, atlas_mk,
-                sb_mk, qb_mk, k_steps=k_steps,
+                sb_mk, qb_mk, box24_mk, bb_mk, k_steps=k_steps,
                 moving=scene.has_moving, has_quads=scene.has_quads,
+                has_boxes=scene.has_boxes,
+                has_rot_boxes=scene.has_rot_boxes,
                 has_perlin=scene.has_perlin,
                 has_images=scene.has_images, img_ah=img_ah,
                 img_aw=img_aw, n_media=n_media_mk,
@@ -457,9 +463,11 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
     n_rays_tile = p_count * spc
     on_tpu = jax.default_backend() == "tpu"
     aligned = n_rays_tile % ops_mega.TN == 0
+    # (intersect_only has no box family; box scenes use the XLA
+    # broadcast intersect or the full megakernel instead.)
     packed = pack_scene(scene) if (
         cfg.use_pallas and not differentiable and on_tpu
-        and aligned) else None
+        and aligned and not scene.has_boxes) else None
     # Differentiable fast path: fused fwd megakernel + replay-adjoint
     # backward kernel (ops.megakernel_vjp), when in scope.
     from .ops import megakernel_vjp as mkv
@@ -576,15 +584,11 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
     n_pix = cfg.width * cfg.height
     # Chains per lane: amortize the straggler tail (relative spread of
     # the per-lane total path length ~ 1/sqrt(chains*spp)) while keeping
-    # at least a few grid instances for pipelining. Scenes with active
-    # whole-tile culling keep chains low: lanes spread across chains mix
-    # pixel rectangles into one ray tile, which would destroy the
-    # primary-ray coherence the bound tests need.
-    big = (scene.n_spheres // ops_mega.TS >= ops_mega.CULL_MIN_TILES
-           or scene.n_quads // ops_mega.TS >= ops_mega.CULL_MIN_TILES)
-    cap = 4 if big else 16
-    chains = max(1, min(128 // max(n_samples, 1),
-                        n_pix // (4 * ops_mega.TN), cap))
+    # a few grid instances. Measured on TPU (RTTNW final, 32spp):
+    # chains 1/2/4/8/16 -> 3.6/4.4/5.3/5.9/6.5 Mrays/s; coherence loss
+    # from chain mixing is irrelevant (whole-tile culls stop firing
+    # after the first bounces regardless), so no scene-size cap.
+    chains = max(1, min(n_pix // (4 * ops_mega.TN), 16))
     meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height,
                                     chains * ops_mega.TN)
     s0, s1 = rng._seed_words(seed_key)
@@ -600,15 +604,23 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
     atlas = ops_mega.pack_atlas(scene) if scene.has_images else None
     sb = ops_mega.pack_sphere_bounds(scene)
     qb = (ops_mega.pack_quad_bounds(scene) if scene.has_quads else None)
+    box24 = (ops_mega.pack_boxes_full(scene) if scene.has_boxes
+             else None)
+    bb = (ops_mega.pack_box_bounds(scene) if scene.has_boxes else None)
     sph24, sb = ops_mega.order_tiles_near_first(sph24, sb,
                                                 camera.look_from)
     if scene.has_quads:
         quad24, qb = ops_mega.order_tiles_near_first(quad24, qb,
                                                      camera.look_from)
+    if scene.has_boxes:
+        box24, bb = ops_mega.order_tiles_near_first(box24, bb,
+                                                    camera.look_from)
     out = ops_mega.render_tiles(
         meta, seed2, cam24, sph24, quad24, med24, bg8, atlas, sb, qb,
+        box24, bb,
         spp=n_samples, chains=chains,
         moving=scene.has_moving, has_quads=scene.has_quads,
+        has_boxes=scene.has_boxes, has_rot_boxes=scene.has_rot_boxes,
         has_perlin=scene.has_perlin, has_images=scene.has_images,
         img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
         n_media=scene.n_media if scene.has_media else 0,

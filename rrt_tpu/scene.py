@@ -15,10 +15,14 @@ once on the host:
     build time (a rotated box is just six transformed parallelograms), so the
     hot loop never sees a transform.
 
-Boxes are emitted as 6 quads (parallelograms), the same decomposition the
-books use for `box`, but generalized so that arbitrary rotations can be baked
-in. Constant media keep their boundary as an analytic sphere or oriented box
-so the entry/exit interval has a closed form.
+Boxes are a first-class primitive family (center, half extents, baked
+y-rotation) intersected by one slab test instead of the books' 6-quad
+decomposition (RTTNW ch. 6.2) — on a vector machine one box slot costs
+~1.4 quad evaluations but replaces six, which is what makes the
+400-ground-box RTTNW final scene tractable. Boxes carrying image textures
+still fall back to 6 quads (the quad uv parameterization is the books'
+box-face uv). Constant media keep their boundary as an analytic sphere or
+oriented box so the entry/exit interval has a closed form.
 """
 
 import dataclasses
@@ -74,6 +78,15 @@ class SceneArrays:
     quad_mat: jax.Array  # (Q,) i32
     quad_valid: jax.Array  # (Q,) bool
 
+    # Box family (axis-aligned box with a baked world-Y rotation;
+    # rotate-then-translate instancing folded into center/cos/sin).
+    box_center: jax.Array  # (B,3)
+    box_half: jax.Array  # (B,3)
+    box_cos: jax.Array  # (B,) cos of the world-from-box Y rotation
+    box_sin: jax.Array  # (B,)
+    box_mat: jax.Array  # (B,) i32
+    box_valid: jax.Array  # (B,) bool
+
     # Constant-medium family.
     med_btype: jax.Array  # (D,) i32 BOUND_*
     med_center: jax.Array  # (D,3)
@@ -110,6 +123,12 @@ class SceneArrays:
     # scenes that do not use them, without any runtime branching.
     has_quads: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    has_boxes: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    # Any box with a non-identity rotation (compile-time gate for the
+    # in-kernel rotation math).
+    has_rot_boxes: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
     has_media: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
     has_perlin: bool = dataclasses.field(
@@ -133,6 +152,10 @@ class SceneArrays:
     @property
     def n_quads(self) -> int:
         return self.quad_q.shape[0]
+
+    @property
+    def n_boxes(self) -> int:
+        return self.box_half.shape[0]
 
     @property
     def n_media(self) -> int:
@@ -161,6 +184,7 @@ class SceneBuilder:
     def __init__(self):
         self._spheres = []  # (c0, c1, t0, t1, radius, mat_id)
         self._quads = []  # (q, u, v, mat_id)
+        self._boxes = []  # (center, half, cos, sin, mat_id)
         self._media = []  # (btype, center, radius, half, rot, nid, mat_id)
         self._materials = []  # (type, tex_id, fuzz, ior)
         self._textures = []  # (type, c1, c2, scale, image_idx)
@@ -249,7 +273,36 @@ class SceneBuilder:
 
     def box(self, corner0, corner1, mat_id: int, rotate_y_deg: float = 0.0,
             translate=(0.0, 0.0, 0.0)):
-        """Axis-aligned box [corner0, corner1], optionally instanced."""
+        """Axis-aligned box [corner0, corner1], optionally instanced
+        (rotate about world Y, then translate — the books' composition).
+
+        Lands in the box primitive family (one slab test) unless its
+        material carries an image texture, in which case it is emitted as
+        the books' 6 quads so face uv matches RTTNW ch. 6.2 exactly."""
+        if self._mat_has_image(mat_id):
+            self._box_as_quads(corner0, corner1, mat_id, rotate_y_deg,
+                               translate)
+            return
+        a = np.minimum(np.asarray(corner0, np.float32),
+                       np.asarray(corner1, np.float32))
+        b = np.maximum(np.asarray(corner0, np.float32),
+                       np.asarray(corner1, np.float32))
+        r = math.radians(rotate_y_deg)
+        c, s = np.float32(math.cos(r)), np.float32(math.sin(r))
+        center = _rot_y(rotate_y_deg) @ (0.5 * (a + b)) \
+            + np.asarray(translate, np.float32)
+        self._boxes.append((center.astype(np.float32),
+                            (0.5 * (b - a)).astype(np.float32), c, s,
+                            mat_id))
+
+    def _mat_has_image(self, mat_id: int) -> bool:
+        tex = self._materials[mat_id][1]
+        return self._textures[tex][0] == TEX_IMAGE
+
+    def _box_as_quads(self, corner0, corner1, mat_id, rotate_y_deg,
+                      translate):
+        """The books' box = 6 parallelograms decomposition
+        (/root/reference has no box; RTTNW listing 6.2)."""
         a = np.minimum(np.asarray(corner0, np.float32),
                        np.asarray(corner1, np.float32))
         b = np.maximum(np.asarray(corner0, np.float32),
@@ -257,11 +310,14 @@ class SceneBuilder:
         dx = np.array([b[0] - a[0], 0, 0], np.float32)
         dy = np.array([0, b[1] - a[1], 0], np.float32)
         dz = np.array([0, 0, b[2] - a[2]], np.float32)
+        # RTTNW listing 6.2 face corners. (Round 1 shipped the right
+        # face at z=min and the back face in the z=max plane — a real
+        # geometry bug masked by the golden sharing this builder.)
         faces = [
             (np.array([a[0], a[1], b[2]], np.float32), dx, dy),  # front
-            (np.array([b[0], a[1], a[2]], np.float32), -dz, dy),  # right
+            (np.array([b[0], a[1], b[2]], np.float32), -dz, dy),  # right
             (np.array([a[0], a[1], a[2]], np.float32), dz, dy),  # left
-            (np.array([b[0], a[1], b[2]], np.float32), -dx, dy),  # back
+            (np.array([b[0], a[1], a[2]], np.float32), -dx, dy),  # back
             (np.array([a[0], b[1], b[2]], np.float32), dx, -dz),  # top
             (np.array([a[0], a[1], a[2]], np.float32), dx, dz),  # bottom
         ]
@@ -361,6 +417,19 @@ class SceneBuilder:
             quad_mat[i] = m
             quad_valid[i] = True
 
+        nb = _pad_to(len(self._boxes))
+        box_center = np.zeros((nb, 3), f32)
+        box_half = np.zeros((nb, 3), f32)
+        box_cos = np.ones((nb,), f32)
+        box_sin = np.zeros((nb,), f32)
+        box_mat = np.zeros((nb,), i32)
+        box_valid = np.zeros((nb,), bool)
+        for i, (c, h, cth, sth, m) in enumerate(self._boxes):
+            box_center[i], box_half[i] = c, h
+            box_cos[i], box_sin[i] = cth, sth
+            box_mat[i] = m
+            box_valid[i] = True
+
         if spatial_sort:
             ps = self._morton_perm(sphere_c0 + 0.5 * sphere_dc,
                                    sphere_valid)
@@ -372,6 +441,10 @@ class SceneBuilder:
                                    quad_valid)
             quad_q, quad_u, quad_v = quad_q[pq], quad_u[pq], quad_v[pq]
             quad_mat, quad_valid = quad_mat[pq], quad_valid[pq]
+            pb = self._morton_perm(box_center, box_valid)
+            box_center, box_half = box_center[pb], box_half[pb]
+            box_cos, box_sin = box_cos[pb], box_sin[pb]
+            box_mat, box_valid = box_mat[pb], box_valid[pb]
 
         nd = _pad_to(len(self._media), lane=8)
         med_btype = np.zeros((nd,), i32)
@@ -427,6 +500,9 @@ class SceneBuilder:
             sphere_valid=dev(sphere_valid),
             quad_q=dev(quad_q), quad_u=dev(quad_u), quad_v=dev(quad_v),
             quad_mat=dev(quad_mat), quad_valid=dev(quad_valid),
+            box_center=dev(box_center), box_half=dev(box_half),
+            box_cos=dev(box_cos), box_sin=dev(box_sin),
+            box_mat=dev(box_mat), box_valid=dev(box_valid),
             med_btype=dev(med_btype), med_center=dev(med_center),
             med_radius=dev(med_radius), med_half=dev(med_half),
             med_rot=dev(med_rot), med_neg_inv_density=dev(med_nid),
@@ -441,6 +517,10 @@ class SceneBuilder:
             bg_bottom=jnp.asarray(self.bg_bottom, jnp.float32),
             bg_top=jnp.asarray(self.bg_top, jnp.float32),
             has_quads=bool(self._quads),
+            has_boxes=bool(self._boxes),
+            has_rot_boxes=bool(
+                any(abs(float(s)) > 0.0 for (_, _, _, s, _)
+                    in self._boxes)),
             has_media=bool(self._media),
             has_perlin=bool((tex_type == TEX_PERLIN).any()),
             has_images=bool(self._images),
@@ -459,5 +539,52 @@ class SceneBuilder:
             if self._materials[int(m)][1] in img_tex:
                 return True
         return False
+
+
+def boxes_as_quads(center, half, cos_t, sin_t, mat, valid):
+    """Expand box-family slots into the books' 6-quad decomposition
+    (host-side numpy). Used by the golden oracles, which keep the
+    quad-only scene representation: a box hit by the device's slab test
+    and the same box's six faces hit by the golden's quad test agree on
+    (t, outward normal) up to f32 rounding.
+
+    Returns (q, u, v, mat6, n_valid*6) arrays for the valid boxes."""
+    center = np.asarray(center, np.float32)
+    half = np.asarray(half, np.float32)
+    cos_t = np.asarray(cos_t, np.float32)
+    sin_t = np.asarray(sin_t, np.float32)
+    mat = np.asarray(mat, np.int32)
+    valid = np.asarray(valid, bool)
+    qs, us, vs, ms = [], [], [], []
+    for i in np.flatnonzero(valid):
+        h = half[i]
+        a = -h
+        b = h
+        dx = np.array([2 * h[0], 0, 0], np.float32)
+        dy = np.array([0, 2 * h[1], 0], np.float32)
+        dz = np.array([0, 0, 2 * h[2]], np.float32)
+        faces = [
+            (np.array([a[0], a[1], b[2]], np.float32), dx, dy),  # front
+            (np.array([b[0], a[1], b[2]], np.float32), -dz, dy),  # right
+            (np.array([a[0], a[1], a[2]], np.float32), dz, dy),  # left
+            (np.array([b[0], a[1], a[2]], np.float32), -dx, dy),  # back
+            (np.array([a[0], b[1], b[2]], np.float32), dx, -dz),  # top
+            (np.array([a[0], a[1], a[2]], np.float32), dx, dz),  # bottom
+        ]
+        c, s = cos_t[i], sin_t[i]
+        rot = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]],
+                       np.float32)
+        for q, u, v in faces:
+            qs.append(rot @ q + center[i])
+            us.append(rot @ u)
+            vs.append(rot @ v)
+            ms.append(mat[i])
+    if not qs:
+        z = np.zeros((0, 3), np.float32)
+        return z, z, z, np.zeros((0,), np.int32)
+    return (np.stack(qs).astype(np.float32),
+            np.stack(us).astype(np.float32),
+            np.stack(vs).astype(np.float32),
+            np.asarray(ms, np.int32))
 
 

@@ -51,7 +51,8 @@ def _cornell_camera(nx: int, ny: int) -> Camera:
 
 def cornell_box_scene(nx: int, ny: int):
     """The standard Cornell box with two rotate_y-instanced boxes
-    (RTTNW ch. 8.2); instancing is baked into the quad vertices."""
+    (RTTNW ch. 8.2); the boxes land in the box primitive family with
+    the rotation baked into cos/sin."""
     b = SceneBuilder()
     b.solid_background((0.0, 0.0, 0.0))
     white = _cornell_walls(b, (15.0, 15.0, 15.0), (213.0, 554.0, 227.0),

@@ -180,3 +180,77 @@ class TestMedium:
         assert bool(mask[0])
         # Rotated 45deg about y: the corner edge faces +z at sqrt(2).
         assert np.isclose(float(t[0]), 5.0 - np.sqrt(2.0), atol=1e-2)
+
+
+class TestBoxes:
+    """Box primitive family vs the books' 6-quad decomposition: the one
+    slab test must reproduce the same hits (t, outward normal,
+    front_face), including inside-start rays hitting the far face."""
+
+    @staticmethod
+    def _pair(rot_deg):
+        from rrt_tpu.geometry import FAM_BOX, FAM_NONE, FAM_QUAD, \
+            intersect_boxes
+
+        def build(as_family):
+            b = SceneBuilder()
+            m = b.lambertian((0.5, 0.5, 0.5))
+            args = ((-1.0, -1.0, -1.0), (1.0, 2.0, 1.5), m)
+            if as_family:
+                b.box(*args, rotate_y_deg=rot_deg, translate=(0.5, 0, -3))
+            else:
+                b._box_as_quads(*args, rot_deg, (0.5, 0.0, -3.0))
+            return b.build()
+
+        s_box, s_quad = build(True), build(False)
+        assert s_box.has_boxes and not s_quad.has_boxes
+        rs = np.random.RandomState(0)
+        n = 2048
+        o = V3(*(jnp.asarray(rs.uniform(-4, 4, n), jnp.float32)
+                 for _ in range(3)))
+        d = V3(*(jnp.asarray(rs.normal(size=n), jnp.float32)
+                 for _ in range(3)))
+        t_min = jnp.full((n,), 1e-3)
+        t_max = jnp.full((n,), INF)
+        tb, ib = intersect_boxes(s_box, o, d, t_min, t_max)
+        tq, iq = intersect_quads(s_quad, o, d, t_min, t_max)
+        tb_n, tq_n = np.asarray(tb), np.asarray(tq)
+        hit = tb_n < 1e38
+        assert (hit == (tq_n < 1e38)).all()
+        assert hit.any()
+        np.testing.assert_allclose(tb_n[hit], tq_n[hit], rtol=1e-5,
+                                   atol=1e-5)
+        tm = jnp.zeros((n,))
+        fam_b = jnp.asarray(np.where(hit, FAM_BOX, FAM_NONE), jnp.int32)
+        fam_q = jnp.asarray(np.where(hit, FAM_QUAD, FAM_NONE), jnp.int32)
+        hb = make_hit(s_box, o, d, tm, tb, fam_b, ib)
+        hq = make_hit(s_quad, o, d, tm, tq, fam_q, iq)
+        for c in "xyz":
+            np.testing.assert_allclose(
+                np.asarray(getattr(hb.normal, c))[hit],
+                np.asarray(getattr(hq.normal, c))[hit], atol=1e-5)
+        assert (np.asarray(hb.front_face)[hit]
+                == np.asarray(hq.front_face)[hit]).all()
+
+    def test_axis_aligned(self):
+        self._pair(0.0)
+
+    def test_rotated(self):
+        self._pair(30.0)
+
+    def test_inside_hits_far_face(self):
+        from rrt_tpu.geometry import intersect_boxes
+        b = SceneBuilder()
+        b.box((-1, -1, -1), (1, 1, 1), b.lambertian((0.5, 0.5, 0.5)))
+        scene = b.build()
+        o, d, _ = _ray((0, 0, 0), (0, 0, 1))
+        t, _ = intersect_boxes(scene, o, d, *_bounds())
+        assert np.isclose(float(t[0]), 1.0, atol=1e-6)
+
+    def test_image_textured_box_falls_back_to_quads(self):
+        b = SceneBuilder()
+        img = np.full((4, 4, 3), 0.5, np.float32)
+        b.box((-1, -1, -1), (1, 1, 1), b.lambertian(b.image(img)))
+        scene = b.build()
+        assert not scene.has_boxes
+        assert int(np.asarray(scene.quad_valid).sum()) == 6

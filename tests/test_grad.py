@@ -154,3 +154,18 @@ def test_grad_quad_geometry():
     cam = Camera.create(look_from=(0.0, 0.0, 1.0), look_at=(0.0, 0.0, -1.0),
                         fov_deg=30.0, aspect=CFG.width / CFG.height)
     _fd_check(scene, cam, "quad_q", (0, 2), eps=1e-3)
+
+
+def test_grad_box_geometry():
+    """Box-family center/half gradients (full-frame axis-aligned box
+    face, lambertian): the slab-test t is differentiable a.e. and the
+    face-pick argmax is detached."""
+    b = SceneBuilder()
+    b.box((-3.0, -3.0, -2.5), (3.0, 3.0, -2.0),
+          b.lambertian((0.5, 0.4, 0.3)))
+    scene = b.build()
+    assert scene.has_boxes
+    cam = Camera.create(look_from=(0.0, 0.0, 1.0), look_at=(0.0, 0.0, -1.0),
+                        fov_deg=30.0, aspect=CFG.width / CFG.height)
+    _fd_check(scene, cam, "box_center", (0, 2), eps=1e-3)
+    _fd_check(scene, cam, "box_half", (0, 2), eps=1e-3)

@@ -48,11 +48,14 @@ def _one_step(scene, cam, w, h, n=1024):
                        alive, jnp.zeros((n,)))
     quad24 = (mk.pack_quads_full(scene) if scene.has_quads
               else jnp.zeros((24, mk.TS), jnp.float32))
+    box24 = mk.pack_boxes_full(scene) if scene.has_boxes else None
     atlas = mk.pack_atlas(scene) if scene.has_images else None
     st2 = mk.bounce_steps(
         st, keys, mk.pack_spheres_full(scene), quad24,
-        mk.pack_media(scene), mk.pack_bg(scene), atlas, k_steps=1,
+        mk.pack_media(scene), mk.pack_bg(scene), atlas,
+        boxes24=box24, k_steps=1,
         moving=scene.has_moving, has_quads=scene.has_quads,
+        has_boxes=scene.has_boxes, has_rot_boxes=scene.has_rot_boxes,
         has_perlin=scene.has_perlin, has_images=scene.has_images,
         img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
         n_media=scene.n_media if scene.has_media else 0, max_depth=50,
@@ -198,9 +201,11 @@ def test_megakernel_multi_step():
                        jnp.zeros((n,)))
     st2 = mk.bounce_steps(
         st, keys, mk.pack_spheres_full(scene), mk.pack_quads_full(scene),
-        mk.pack_media(scene), mk.pack_bg(scene), k_steps=3,
-        moving=scene.has_moving, has_quads=True, n_media=0, max_depth=50,
-        t_min=1e-3)
+        mk.pack_media(scene), mk.pack_bg(scene),
+        boxes24=mk.pack_boxes_full(scene), k_steps=3,
+        moving=scene.has_moving, has_quads=True,
+        has_boxes=scene.has_boxes, has_rot_boxes=scene.has_rot_boxes,
+        n_media=0, max_depth=50, t_min=1e-3)
     _, _, _, thr2, pend2, bounce2, alive2, traced2 = mk.unpack_state(st2)
 
     np.testing.assert_array_equal(np.asarray(traced2), np.asarray(traced))
@@ -231,9 +236,12 @@ def test_whole_tile_cull_exact():
                        jnp.zeros((n,)))
     sb = mk.pack_sphere_bounds(scene)
     qb = mk.pack_quad_bounds(scene)
-    assert (scene.n_spheres // mk.TS >= mk.CULL_MIN_TILES
-            or scene.n_quads // mk.TS >= mk.CULL_MIN_TILES)
+    bb = mk.pack_box_bounds(scene)
+    box24 = mk.pack_boxes_full(scene)
+    assert scene.n_spheres // mk.TS >= mk.CULL_MIN_TILES
     kw = dict(k_steps=2, moving=scene.has_moving, has_quads=True,
+              has_boxes=scene.has_boxes,
+              has_rot_boxes=scene.has_rot_boxes,
               has_perlin=scene.has_perlin, has_images=scene.has_images,
               img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
               n_media=scene.n_media if scene.has_media else 0,
@@ -241,10 +249,11 @@ def test_whole_tile_cull_exact():
     atlas = mk.pack_atlas(scene)
     ref = mk.bounce_steps(st, keys, mk.pack_spheres_full(scene),
                           mk.pack_quads_full(scene), mk.pack_media(scene),
-                          mk.pack_bg(scene), atlas, **kw)
+                          mk.pack_bg(scene), atlas, boxes24=box24, **kw)
     cul = mk.bounce_steps(st, keys, mk.pack_spheres_full(scene),
                           mk.pack_quads_full(scene), mk.pack_media(scene),
-                          mk.pack_bg(scene), atlas, sb, qb, **kw)
+                          mk.pack_bg(scene), atlas, sb, qb,
+                          boxes24=box24, box_bounds=bb, **kw)
     np.testing.assert_array_equal(np.asarray(cul), np.asarray(ref))
 
 

@@ -85,9 +85,29 @@ def test_chain_grads_chap12():
 
 
 def test_chain_grads_cornell_quads_emissive():
-    scene, cam = cornell_box_scene(32, 32)
+    """Quads + emissive light through the fused-vjp chain. The stock
+    cornell scene now carries its boxes in the box family (out of
+    kernel-vjp scope), so build the 6-quad decomposition explicitly."""
+    from rrt_tpu.scene import SceneBuilder
+    from rrt_tpu.scenes.book2 import _cornell_camera, _cornell_walls
+    b = SceneBuilder()
+    b.solid_background((0.0, 0.0, 0.0))
+    white = _cornell_walls(b, (15.0, 15.0, 15.0), (213.0, 554.0, 227.0),
+                           (130.0, 0.0, 0.0), (0.0, 0.0, 105.0))
+    b._box_as_quads((0.0, 0.0, 0.0), (165.0, 330.0, 165.0), white, 15.0,
+                    (265.0, 0.0, 295.0))
+    b._box_as_quads((0.0, 0.0, 0.0), (165.0, 165.0, 165.0), white, -18.0,
+                    (130.0, 0.0, 65.0))
+    scene, cam = b.build(), _cornell_camera(32, 32)
+    assert not scene.has_boxes
     assert mkv.supports_backward(scene)
     _compare(scene, cam, 32, 32)
+
+
+def test_box_scene_out_of_backward_scope():
+    scene, _ = cornell_box_scene(16, 16)
+    assert scene.has_boxes
+    assert not mkv.supports_backward(scene)
 
 
 def test_chain_grads_moving_spheres():

@@ -70,19 +70,23 @@ def test_chap11_hollow_glass():
 def test_cornell_instancing_baked():
     scene, _ = cornell_box_scene(64, 64)
     valid = np.asarray(scene.quad_valid)
-    assert int(valid.sum()) == 6 + 12  # walls + two boxes of 6 faces
-    # rotated box faces are not axis-aligned
-    u = np.asarray(scene.quad_u)[valid]
-    n_axis_aligned = int(((u != 0).sum(axis=1) == 1).sum())
-    assert n_axis_aligned < len(u)
+    assert int(valid.sum()) == 6  # walls + light stay quads
+    # the two instanced boxes land in the box family with the rotation
+    # baked into cos/sin (not the identity)
+    bvalid = np.asarray(scene.box_valid)
+    assert int(bvalid.sum()) == 2
+    assert scene.has_boxes and scene.has_rot_boxes
+    assert (np.abs(np.asarray(scene.box_sin)[bvalid]) > 0.1).all()
 
 
 def test_rttnw_final_inventory():
     scene, _ = rttnw_final_scene(64, 36)
-    assert scene.has_quads and scene.has_media
+    assert scene.has_quads and scene.has_media and scene.has_boxes
+    assert not scene.has_rot_boxes  # the ground boxes are axis-aligned
     assert scene.has_perlin and scene.has_images and scene.has_emissive
     assert scene.has_moving
     assert int(np.asarray(scene.sphere_valid).sum()) == 1 + 1 + 1 + 1 \
         + 1 + 1 + 1000  # moving, glass, metal, subsurface, earth, perlin
     assert int(np.asarray(scene.med_valid).sum()) == 2
-    assert int(np.asarray(scene.quad_valid).sum()) == 400 * 6 + 1
+    assert int(np.asarray(scene.box_valid).sum()) == 400  # the ground
+    assert int(np.asarray(scene.quad_valid).sum()) == 1  # the light
