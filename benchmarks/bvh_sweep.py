@@ -76,10 +76,12 @@ def main():
         t_brute = timed(brute, scene, o, d, tm, t_min, t_max)
 
         bvh = accel.build_sphere_bvh(scene)
-        trav = jax.jit(lambda sc, bv, o, d, tm, lo, hi:
-                       accel.bvh_intersect_spheres(sc, bv, o, d, tm, lo,
+        # bvh is closed over (its prim_count/topology feed static shapes
+        # inside bvh_intersect_spheres).
+        trav = jax.jit(lambda sc, o, d, tm, lo, hi:
+                       accel.bvh_intersect_spheres(sc, bvh, o, d, tm, lo,
                                                    hi))
-        t_bvh = timed(trav, scene, bvh, o, d, tm, t_min, t_max)
+        t_bvh = timed(trav, scene, o, d, tm, t_min, t_max)
 
         sph24 = mk.pack_spheres_full(scene)
         quad24 = jnp.zeros((24, mk.TS), jnp.float32)

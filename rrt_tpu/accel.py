@@ -8,15 +8,21 @@ fallback on degenerate splits, same conservative slab test padded by
 64-deep traversal stack with near-child-first ordering by direction sign
 (src/acceleration.rs:221-272).
 
-Design note (SURVEY.md §7 "hard parts" #1): a data-dependent stack walk is
-hostile to a lockstep vector machine — every ray in a batch pays for the
-deepest ray's walk, and the per-step node gathers are scalar-indexed. At
-the reference's scene scale (~0.5-4k primitives) the fused brute-force
-intersection (ops/megakernel.py) beats BVH traversal on TPU by a wide
-margin, so brute force is the default device path; this module exists for
-(a) parity, (b) the CPU/test oracle ("keep the dead oracle alive",
-src/lib.rs:32-47 pattern — here BVH and brute force check each other),
-and (c) large-scene escape hatch.
+Design note (SURVEY.md §7 "hard parts" #1), settled with device data in
+round 2 (benchmarks/bvh_sweep.py, recorded in BASELINE.md): a
+data-dependent stack walk is hostile to a lockstep vector machine —
+every ray in a batch pays for the deepest ray's walk, and the per-step
+node gathers are scalar-indexed. Measured on real TPU at S in
+{512, 4096, 16384}, this traversal is 14-40x slower than the dense tile
+forms and diverges with scene size; there is no crossover. The
+production acceleration structure is therefore build-side, consumed by
+the megakernel: Morton slot ordering (scene.SceneBuilder._morton_perm)
+-> tight per-TS-tile AABBs (ops.megakernel.pack_*_bounds) -> whole-tile
+slab culling + near-first tile ordering + cross-family winner-t seeding,
+plus the box primitive family for box-heavy scenes. This module remains
+for (a) parity with the reference's component, and (b) the CPU/test
+oracle ("keep the dead oracle alive", src/lib.rs:32-47 pattern — here
+BVH and brute force check each other).
 
 Two improvements over the reference, made consciously:
   * the Middle->EqualCount fallback applies per split, not to the whole
@@ -160,7 +166,12 @@ def bvh_intersect_spheres(scene, bvh: BvhArrays, o: V3, d: V3, time,
     inv_dt = scene.sphere_inv_dt
     radius = scene.sphere_radius
 
-    max_leaf = int(jnp.max(bvh.prim_count))
+    # Static python int (the unrolled leaf-test count): computed on the
+    # host copy so bvh can be closed over inside jit (ops on captured
+    # constants are staged, not folded, so int(jnp.max(...)) would see a
+    # tracer there).
+    import numpy as _np
+    max_leaf = int(_np.max(jax.device_get(bvh.prim_count)))
 
     def body(state):
         stack, sp, t_best, idx_best = state
