@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera import Camera
-from ..render import RenderConfig, render_tile, trace_queue
+from ..render import (RenderConfig, render_tile, tile_call, tile_chains,
+                      trace_queue)
 from ..scene import SceneArrays
 
 
@@ -147,6 +148,63 @@ def render_image_sharded(scene: SceneArrays, camera: Camera,
             px, py, scene, camera, seed_key)
 
     rad = rad.reshape(n_tiles * tp, 3)[: cfg.width * cfg.height]
+    image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
+    return image, n_traced
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_image_tiles_sharded(scene: SceneArrays, camera: Camera,
+                               cfg: RenderConfig, seed, mesh: Mesh):
+    """Multi-device forward rendering through the tile-resident
+    megakernel (the TPU fast path): pixel-rectangle meta blocks shard
+    over "dp" (each rank runs ONE Pallas launch on its blocks), the spp
+    range splits over "sp", and the per-shard scatter into the full
+    image psums over both axes (dp shards cover disjoint pixels, so the
+    dp-psum is pure assembly — no double counting).
+
+    Per-sample keys are global (pixel, sample)-addressed, so the image
+    equals the single-device tile render up to f32 summation order for
+    any mesh factorization."""
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    if cfg.spp % sp != 0:
+        raise ValueError(f"spp={cfg.spp} must be a multiple of sp={sp}")
+    spp_local = cfg.spp // sp
+    seed_key = jax.random.key(seed) if jnp.issubdtype(
+        jnp.asarray(seed).dtype, jnp.integer) else seed
+
+    from ..ops import megakernel as ops_mega
+    chains = tile_chains(cfg)
+    block = chains * ops_mega.TN
+    meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height, block)
+    # Pad the meta column count to a multiple of dp*block with invalid
+    # (parked) columns so every rank gets whole launch blocks.
+    npad = meta.shape[1]
+    target = -(-npad // (dp * block)) * (dp * block)
+    if target != npad:
+        fill = jnp.tile(meta[:, -1:], (1, target - npad))
+        fill = fill.at[3, :].set(0.0)  # valid = 0
+        meta = jnp.concatenate([meta, fill], axis=1)
+    n_pix = cfg.width * cfg.height
+
+    def shard_fn(meta_l, scene, camera, seed_key):
+        sp_rank = jax.lax.axis_index("sp")
+        out = tile_call(scene, camera, cfg, seed_key, meta_l, chains,
+                        sp_rank * spp_local, spp_local)
+        gid = meta_l[2].astype(jnp.int32)
+        validf = meta_l[3]
+        rad = jnp.zeros((n_pix, 3), jnp.float32).at[gid].add(
+            jnp.stack([out[0] * validf, out[1] * validf,
+                       out[2] * validf], axis=-1), mode="drop")
+        rad = jax.lax.psum(rad, ("dp", "sp"))
+        nt = jax.lax.psum(jnp.sum(out[3]), ("dp", "sp"))
+        return rad, nt
+
+    rad, n_traced = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, "dp"), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False)(
+            meta, scene, camera, seed_key)
+
     image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
     return image, n_traced
 

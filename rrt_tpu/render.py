@@ -573,24 +573,18 @@ def render_image_queue(scene: SceneArrays, camera: Camera,
     return image, n_traced
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_samples"))
-def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
-                seed, sample_lo=0, n_samples: int | None = None):
-    """Tile-resident render of samples [sample_lo, sample_lo+n_samples):
-    returns (radiance sums (P,3), n_traced). sample_lo is a traced
-    scalar, so progressive chunks share one compilation."""
-    n_samples = cfg.spp if n_samples is None else n_samples
-    seed_key = _as_key(seed)
+def tile_chains(cfg: RenderConfig) -> int:
+    """Pixels per lane for the tile-resident driver (see trace_tiles)."""
     n_pix = cfg.width * cfg.height
-    # Chains per lane: amortize the straggler tail (relative spread of
-    # the per-lane total path length ~ 1/sqrt(chains*spp)) while keeping
-    # a few grid instances. Measured on TPU (RTTNW final, 32spp):
-    # chains 1/2/4/8/16 -> 3.6/4.4/5.3/5.9/6.5 Mrays/s; coherence loss
-    # from chain mixing is irrelevant (whole-tile culls stop firing
-    # after the first bounces regardless), so no scene-size cap.
-    chains = max(1, min(n_pix // (4 * ops_mega.TN), 16))
-    meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height,
-                                    chains * ops_mega.TN)
+    return max(1, min(n_pix // (4 * ops_mega.TN), 16))
+
+
+def tile_call(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
+              seed_key, meta, chains: int, sample_lo, n_samples: int):
+    """Pack + launch the tile-resident megakernel on a pixel-meta block
+    (the shard-aware core of trace_tiles; meta columns may be any
+    pack_pixel_meta shard whose width is a multiple of chains*TN).
+    Returns the raw (8, NP) kernel output."""
     s0, s1 = rng._seed_words(seed_key)
     seed2 = jnp.stack([
         s0, s1, jnp.asarray(sample_lo).astype(jnp.uint32),
@@ -615,7 +609,7 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
     if scene.has_boxes:
         box24, bb = ops_mega.order_tiles_near_first(box24, bb,
                                                     camera.look_from)
-    out = ops_mega.render_tiles(
+    return ops_mega.render_tiles(
         meta, seed2, cam24, sph24, quad24, med24, bg8, atlas, sb, qb,
         box24, bb,
         spp=n_samples, chains=chains,
@@ -625,6 +619,28 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
         img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
         n_media=scene.n_media if scene.has_media else 0,
         max_depth=cfg.max_depth, t_min=cfg.t_min)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
+                seed, sample_lo=0, n_samples: int | None = None):
+    """Tile-resident render of samples [sample_lo, sample_lo+n_samples):
+    returns (radiance sums (P,3), n_traced). sample_lo is a traced
+    scalar, so progressive chunks share one compilation."""
+    n_samples = cfg.spp if n_samples is None else n_samples
+    seed_key = _as_key(seed)
+    n_pix = cfg.width * cfg.height
+    # Chains per lane: amortize the straggler tail (relative spread of
+    # the per-lane total path length ~ 1/sqrt(chains*spp)) while keeping
+    # a few grid instances. Measured on TPU (RTTNW final, 32spp):
+    # chains 1/2/4/8/16 -> 3.6/4.4/5.3/5.9/6.5 Mrays/s; coherence loss
+    # from chain mixing is irrelevant (whole-tile culls stop firing
+    # after the first bounces regardless), so no scene-size cap.
+    chains = tile_chains(cfg)
+    meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height,
+                                    chains * ops_mega.TN)
+    out = tile_call(scene, camera, cfg, seed_key, meta, chains,
+                    sample_lo, n_samples)
     # Un-permute the 2D-blocked pixel layout back to scan-line order.
     gid = meta[2].astype(jnp.int32)
     validf = meta[3]

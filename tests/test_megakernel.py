@@ -356,3 +356,21 @@ def test_tile_renderer_ragged_resolution():
     # so ~1% of pixels differ legitimately; a single orphaned 16x16
     # rectangle would already cost ~9% of the 72x40 image.
     assert close.mean() > 0.98, close.mean()
+
+
+def test_tile_renderer_sharded_matches_single():
+    """The tile driver over a ("dp","sp") mesh equals the single-device
+    tile render (global (pixel, sample) keys; dp shards cover disjoint
+    pixel blocks; sp splits the sample range)."""
+    from rrt_tpu.parallel.mesh import make_mesh, render_image_tiles_sharded
+    from rrt_tpu.render import RenderConfig, render_image_tiles
+    w, h, spp = 64, 32, 4
+    scene, cam = chap12_scene(w, h)
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=8,
+                       queue_size=2048)
+    single, n1 = render_image_tiles(scene, cam, cfg, 0)
+    mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    shard, n8 = render_image_tiles_sharded(scene, cam, cfg, 0, mesh)
+    np.testing.assert_allclose(np.asarray(shard), np.asarray(single),
+                               atol=2e-6)
+    assert float(n8) == float(n1)
