@@ -1152,6 +1152,10 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         use_q=use_q, hit=hit, miss=miss, survives=survives, front=front,
         degen=degen, met_ok=met_ok, do_reflect=do_reflect, use_c2=use_c2,
         draws=(ux, uy_, uz, sx, sy, sz, u_choice), bounce=bounce)
+    if has_boxes:
+        aux_out["sel_b"] = b_sel
+        aux_out["win_b"] = i_b
+        aux_out["use_b"] = use_b
     if has_perlin:
         aux_out["is_per"] = is_per
     if has_images:

@@ -58,11 +58,10 @@ def supports_backward(scene: SceneArrays) -> bool:
     """Kernel-vjp scope: everything the forward megakernel shades except
     constant media (their stochastic boundary-interval sampling couples
     the solid t_max into the decision; the XLA scan path keeps exact
-    gradients there) and the box family (the XLA scan path
-    differentiates boxes through geometry.intersect_boxes; the replay
-    kernel does not store box winner attributes yet)."""
-    return mk.supports(scene) and not scene.has_media \
-        and not scene.has_boxes
+    gradients there). Boxes replay like quads: the slab face is a
+    discrete decision, the face t and the rotated normal are re-derived
+    from the winner's packed rows."""
+    return mk.supports(scene) and not scene.has_media
 
 
 # ---------------------------------------------------------------------------
@@ -73,13 +72,14 @@ def supports_backward(scene: SceneArrays) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _make_diff_step(c, *, moving, has_quads, has_perlin, has_images,
+def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
+                    has_perlin, has_images,
                     img_ah, img_aw):
     """Build g(*diff_ins) -> 13 continuous output rows.
 
     c: dict of replayed constants (closure, not differentiated).
     diff_ins order: 13 state rows (o, d, time, thr, pend), sel_s,
-    [sel_q], 6 bg rows, [atlas]."""
+    [sel_q], [sel_b], 6 bg rows, [atlas]."""
 
     def g(*args):
         (ox, oy, oz, dx, dy, dz, time, thx, thy, thz,
@@ -88,6 +88,9 @@ def _make_diff_step(c, *, moving, has_quads, has_perlin, has_images,
         i = 14
         if has_quads:
             sel_q = args[i]
+            i += 1
+        if has_boxes:
+            sel_b = args[i]
             i += 1
         bg6 = args[i:i + 6]
         i += 6
@@ -124,7 +127,44 @@ def _make_diff_step(c, *, moving, has_quads, has_perlin, has_images,
             jnp.abs(root0 - c["t_hit"]) <= jnp.abs(root1 - c["t_hit"]))
         t_sph = jnp.where(pick0, root0, root1)
 
+        # --- box winner t (slab face re-derived from the winner rows;
+        # which of the 6 faces is a discrete decision — the candidate
+        # nearest the stored t is replayed) ---------------------------------
+        if has_boxes:
+            bwx = ox - sel_b[0:1]
+            bwy = oy - sel_b[1:2]
+            bwz = oz - sel_b[2:3]
+            if has_rot_boxes:
+                cthb = sel_b[6:7]
+                sthb = sel_b[7:8]
+                obx = cthb * bwx - sthb * bwz
+                obz = sthb * bwx + cthb * bwz
+                dbx = cthb * dx - sthb * dz
+                dbz = sthb * dx + cthb * dz
+            else:
+                obx, obz = bwx, bwz
+                dbx, dbz = dx, dz
+            oby, dby = bwy, dy
+            t_box = jnp.zeros_like(t_sph)
+            best = jnp.full_like(t_sph, INF)
+            for ob, db, hk in ((obx, dbx, sel_b[3:4]),
+                               (oby, dby, sel_b[4:5]),
+                               (obz, dbz, sel_b[5:6])):
+                ok_db = jax.lax.stop_gradient(jnp.abs(db) > 1e-12)
+                inv_db = 1.0 / jnp.where(ok_db, db, 1.0)
+                for side in (-1.0, 1.0):
+                    t_f = (side * hk - ob) * inv_db
+                    err = jax.lax.stop_gradient(
+                        jnp.where(ok_db, jnp.abs(t_f - c["t_hit"]), INF))
+                    take = jax.lax.stop_gradient(err < best)
+                    best = jnp.where(take, err, best)
+                    t_box = jnp.where(take, t_f, t_box)
+        else:
+            t_box = t_sph
+
         # --- quad winner t ----------------------------------------------
+        t_solid = (jnp.where(c["use_b"], t_box, t_sph) if has_boxes
+                   else t_sph)
         if has_quads:
             nqx, nqy, nqz = sel_q[0:1], sel_q[1:2], sel_q[2:3]
             denom = dx * nqx + dy * nqy + dz * nqz
@@ -132,9 +172,9 @@ def _make_diff_step(c, *, moving, has_quads, has_perlin, has_images,
             not_par = jax.lax.stop_gradient(
                 jnp.abs(denom) > sel_q[12:13] * d_len)
             t_quad = (sel_q[9:10] - o_n) / jnp.where(not_par, denom, 1.0)
-            t_hit = jnp.where(c["use_q"], t_quad, t_sph)
+            t_hit = jnp.where(c["use_q"], t_quad, t_solid)
         else:
-            t_hit = t_sph
+            t_hit = t_solid
 
         t_eff = jnp.where(c["hit"], t_hit, 0.0)
         px_ = ox + t_eff * dx
@@ -155,27 +195,75 @@ def _make_diff_step(c, *, moving, has_quads, has_perlin, has_images,
         sony = (py_ - scy) * inv_r
         sonz = (pz_ - scz) * inv_r
 
+        outx, outy, outz = sonx, sony, sonz
+        aux_v = sel_s[9:10]
+        c1r, c1g, c1b = sel_s[10:11], sel_s[11:12], sel_s[12:13]
+        c2r, c2g, c2b = sel_s[13:14], sel_s[14:15], sel_s[15:16]
+        texscale = sel_s[17:18]
+
+        if has_boxes:
+            # Outward normal: face axis/sign are discrete (re-derived
+            # with stop_gradient exactly as the forward kernel does);
+            # the only continuous dependence is the rotation rows.
+            bpx = px_ - sel_b[0:1]
+            bpy = py_ - sel_b[1:2]
+            bpz = pz_ - sel_b[2:3]
+            if has_rot_boxes:
+                bqx = cthb * bpx - sthb * bpz
+                bqz = sthb * bpx + cthb * bpz
+            else:
+                bqx, bqz = bpx, bpz
+            bqy = bpy
+            fxb = jnp.abs(bqx) - sel_b[3:4]
+            fyb = jnp.abs(bqy) - sel_b[4:5]
+            fzb = jnp.abs(bqz) - sel_b[5:6]
+            use_xb = jax.lax.stop_gradient((fxb >= fyb) & (fxb >= fzb))
+            use_yb = jax.lax.stop_gradient(
+                jnp.logical_not(use_xb) & (fyb >= fzb))
+            sgnx = jax.lax.stop_gradient(
+                jnp.where(bqx >= 0.0, 1.0, -1.0))
+            sgny = jax.lax.stop_gradient(
+                jnp.where(bqy >= 0.0, 1.0, -1.0))
+            sgnz = jax.lax.stop_gradient(
+                jnp.where(bqz >= 0.0, 1.0, -1.0))
+            xbf = use_xb.astype(jnp.float32)
+            ybf = use_yb.astype(jnp.float32)
+            zbf = 1.0 - xbf - ybf
+            nbx = xbf * sgnx
+            nby = ybf * sgny
+            nbz = zbf * sgnz
+            if has_rot_boxes:
+                bnx = cthb * nbx + sthb * nbz
+                bnz = -sthb * nbx + cthb * nbz
+            else:
+                bnx, bnz = nbx, nbz
+            outx = jnp.where(c["use_b"], bnx, outx)
+            outy = jnp.where(c["use_b"], nby, outy)
+            outz = jnp.where(c["use_b"], bnz, outz)
+            aux_v = jnp.where(c["use_b"], sel_b[10:11], aux_v)
+            c1r = jnp.where(c["use_b"], sel_b[11:12], c1r)
+            c1g = jnp.where(c["use_b"], sel_b[12:13], c1g)
+            c1b = jnp.where(c["use_b"], sel_b[13:14], c1b)
+            c2r = jnp.where(c["use_b"], sel_b[14:15], c2r)
+            c2g = jnp.where(c["use_b"], sel_b[15:16], c2g)
+            c2b = jnp.where(c["use_b"], sel_b[16:17], c2b)
+            texscale = jnp.where(c["use_b"], sel_b[18:19], texscale)
+
         if has_quads:
             nn = (sel_q[0:1] ** 2 + sel_q[1:2] ** 2 + sel_q[2:3] ** 2)
             nn_ok = jax.lax.stop_gradient(nn > 1e-20)
             qinv = jax.lax.rsqrt(jnp.where(nn_ok, nn, 1.0))
-            outx = jnp.where(c["use_q"], sel_q[0:1] * qinv, sonx)
-            outy = jnp.where(c["use_q"], sel_q[1:2] * qinv, sony)
-            outz = jnp.where(c["use_q"], sel_q[2:3] * qinv, sonz)
-            aux_v = jnp.where(c["use_q"], sel_q[15:16], sel_s[9:10])
-            c1r = jnp.where(c["use_q"], sel_q[16:17], sel_s[10:11])
-            c1g = jnp.where(c["use_q"], sel_q[17:18], sel_s[11:12])
-            c1b = jnp.where(c["use_q"], sel_q[18:19], sel_s[12:13])
-            c2r = jnp.where(c["use_q"], sel_q[19:20], sel_s[13:14])
-            c2g = jnp.where(c["use_q"], sel_q[20:21], sel_s[14:15])
-            c2b = jnp.where(c["use_q"], sel_q[21:22], sel_s[15:16])
-            texscale = jnp.where(c["use_q"], sel_q[23:24], sel_s[17:18])
-        else:
-            outx, outy, outz = sonx, sony, sonz
-            aux_v = sel_s[9:10]
-            c1r, c1g, c1b = sel_s[10:11], sel_s[11:12], sel_s[12:13]
-            c2r, c2g, c2b = sel_s[13:14], sel_s[14:15], sel_s[15:16]
-            texscale = sel_s[17:18]
+            outx = jnp.where(c["use_q"], sel_q[0:1] * qinv, outx)
+            outy = jnp.where(c["use_q"], sel_q[1:2] * qinv, outy)
+            outz = jnp.where(c["use_q"], sel_q[2:3] * qinv, outz)
+            aux_v = jnp.where(c["use_q"], sel_q[15:16], aux_v)
+            c1r = jnp.where(c["use_q"], sel_q[16:17], c1r)
+            c1g = jnp.where(c["use_q"], sel_q[17:18], c1g)
+            c1b = jnp.where(c["use_q"], sel_q[18:19], c1b)
+            c2r = jnp.where(c["use_q"], sel_q[19:20], c2r)
+            c2g = jnp.where(c["use_q"], sel_q[20:21], c2g)
+            c2b = jnp.where(c["use_q"], sel_q[21:22], c2b)
+            texscale = jnp.where(c["use_q"], sel_q[23:24], texscale)
 
         sgn = jnp.where(c["front"], 1.0, -1.0)
         nx_ = outx * sgn
@@ -300,17 +388,22 @@ def _make_diff_step(c, *, moving, has_quads, has_perlin, has_images,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
-                sb_ref, qb_ref, dso_ref, dsi_ref, dsph_ref, dquad_ref,
+def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
+                atlas_ref, bg_ref,
+                sb_ref, qb_ref, bb_ref, dso_ref, dsi_ref, dsph_ref,
+                dquad_ref, dbox_ref,
                 dbg_ref, datlas_ref, states_ref, *, k_steps, s_tiles,
-                q_tiles, moving, has_quads, has_perlin, has_images,
-                img_ah, img_aw, t_min, max_depth, cull_s, cull_q):
+                q_tiles, b_tiles, moving, has_quads, has_boxes,
+                has_rot_boxes, has_perlin, has_images,
+                img_ah, img_aw, t_min, max_depth, cull_s, cull_q,
+                cull_b):
     # Grad accumulators are revisited by every (sequential) grid step:
     # zero them once.
     @pl.when(pl.program_id(0) == 0)
     def _():
         dsph_ref[:, :] = jnp.zeros(dsph_ref.shape, jnp.float32)
         dquad_ref[:, :] = jnp.zeros(dquad_ref.shape, jnp.float32)
+        dbox_ref[:, :] = jnp.zeros(dbox_ref.shape, jnp.float32)
         datlas_ref[:, :] = jnp.zeros(datlas_ref.shape, jnp.float32)
 
     st = state_ref[:, :]
@@ -325,30 +418,43 @@ def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
 
     @pl.when(tile_alive)
     def _():
-        _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref,
+        _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref,
+                       atlas_ref,
                        bg_ref, dso_ref, dsi_ref, dsph_ref, dquad_ref,
+                       dbox_ref,
                        dbg_ref, datlas_ref, states_ref, k_steps=k_steps,
-                       s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
-                       has_quads=has_quads, has_perlin=has_perlin,
+                       s_tiles=s_tiles, q_tiles=q_tiles,
+                       b_tiles=b_tiles, moving=moving,
+                       has_quads=has_quads, has_boxes=has_boxes,
+                       has_rot_boxes=has_rot_boxes,
+                       has_perlin=has_perlin,
                        has_images=has_images, img_ah=img_ah,
                        img_aw=img_aw, t_min=t_min, max_depth=max_depth,
-                       sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s,
-                       cull_q=cull_q)
+                       sb_ref=sb_ref, qb_ref=qb_ref, bb_ref=bb_ref,
+                       cull_s=cull_s,
+                       cull_q=cull_q, cull_b=cull_b)
 
 
-def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
-                   dso_ref, dsi_ref, dsph_ref, dquad_ref, dbg_ref,
+def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
+                   bg_ref,
+                   dso_ref, dsi_ref, dsph_ref, dquad_ref, dbox_ref,
+                   dbg_ref,
                    datlas_ref, states_ref, *, k_steps, s_tiles, q_tiles,
-                   moving, has_quads, has_perlin, has_images, img_ah,
-                   img_aw, t_min, max_depth, sb_ref, qb_ref, cull_s,
-                   cull_q):
+                   b_tiles,
+                   moving, has_quads, has_boxes, has_rot_boxes,
+                   has_perlin, has_images, img_ah,
+                   img_aw, t_min, max_depth, sb_ref, qb_ref, bb_ref,
+                   cull_s,
+                   cull_q, cull_b):
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
     bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
               has_quads=has_quads, has_perlin=has_perlin,
               has_images=has_images, img_ah=img_ah, img_aw=img_aw,
               n_media=0, t_min=t_min, max_depth=max_depth, sb_ref=sb_ref,
-              qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q)
+              qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
+              box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
+              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
 
     # --- replay: fori_loop over the K steps (kernel size independent of
     # K), spilling each step's input state to a VMEM scratch so the
@@ -400,8 +506,12 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
                                 atlas_ref, bg_ref, want_aux=True, **bk)
         sel_s = aux["sel_s"]
         sel_q = aux["sel_q"]
-        mtype = (jnp.where(aux["use_q"], sel_q[14:15], sel_s[8:9])
-                 if has_quads else sel_s[8:9])
+        mtype = sel_s[8:9]
+        if has_boxes:
+            sel_b = aux["sel_b"]
+            mtype = jnp.where(aux["use_b"], sel_b[9:10], mtype)
+        if has_quads:
+            mtype = jnp.where(aux["use_q"], sel_q[14:15], mtype)
         consts = dict(
             t_hit=aux["t_hit"], use_q=aux["use_q"], hit=aux["hit"],
             miss=aux["miss"], survives=aux["survives"],
@@ -412,6 +522,8 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
             is_met=mtype == MAT_METAL,
             is_die=mtype == MAT_DIELECTRIC,
             is_light=mtype == MAT_DIFFUSE_LIGHT)
+        if has_boxes:
+            consts["use_b"] = aux["use_b"]
         if has_perlin:
             consts["is_per"] = aux["is_per"]
         if has_images:
@@ -420,11 +532,15 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
             consts["img_row"] = aux["img_row"]
 
         g = _make_diff_step(consts, moving=moving, has_quads=has_quads,
+                            has_boxes=has_boxes,
+                            has_rot_boxes=has_rot_boxes,
                             has_perlin=has_perlin, has_images=has_images,
                             img_ah=img_ah, img_aw=img_aw)
         diff_ins = list(s_rows[:13]) + [sel_s]
         if has_quads:
             diff_ins.append(sel_q)
+        if has_boxes:
+            diff_ins.append(sel_b)
         diff_ins += list(bg6)
         if has_images:
             diff_ins.append(atlas)
@@ -437,6 +553,9 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
         gi = 14
         if has_quads:
             d_sel_q = grads[gi]
+            gi += 1
+        if has_boxes:
+            d_sel_b = grads[gi]
             gi += 1
         dbg_new = tuple(carry[13 + ci] + grads[gi + ci]
                         for ci in range(6))
@@ -476,6 +595,22 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
                 return 0
 
             jax.lax.fori_loop(0, q_tiles, scat_q, 0)
+
+        if has_boxes:
+            win_b = aux["win_b"].astype(jnp.int32)
+
+            def scat_b(bi, _):
+                off = pl.multiple_of(bi * TS, TS)
+                rows_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                                     (TS, TN), 0)
+                oh = (rows_iota == (win_b - bi * TS)).astype(jnp.float32)
+                dbox_ref[:, pl.ds(off, TS)] += jax.lax.dot_general(
+                    d_sel_b, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                return 0
+
+            jax.lax.fori_loop(0, b_tiles, scat_b, 0)
         return out
 
     carry = jax.lax.fori_loop(k_steps - n_live, k_steps, rev_step, carry0)
@@ -489,21 +624,27 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, atlas_ref, bg_ref,
         list(carry[13:19]) + [jnp.zeros((2, TN), jnp.float32)], axis=0)
 
 
-def _bwd_call(state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out, *,
-              k_steps, moving, has_quads, has_perlin, has_images,
+def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
+              d_out, *,
+              k_steps, moving, has_quads, has_boxes, has_rot_boxes,
+              has_perlin, has_images,
               img_ah, img_aw, t_min, max_depth):
     q = state.shape[1]
     s_count = sph24.shape[1]
     q_count = quad24.shape[1]
+    b_count = box24.shape[1]
     cull_s = s_count // TS >= mk.CULL_MIN_TILES
     cull_q = has_quads and q_count // TS >= mk.CULL_MIN_TILES
+    cull_b = has_boxes and b_count // TS >= mk.CULL_MIN_TILES
 
     kern = functools.partial(
         _bwd_kernel, k_steps=k_steps, s_tiles=s_count // TS,
-        q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
+        q_tiles=q_count // TS, b_tiles=b_count // TS, moving=moving,
+        has_quads=has_quads, has_boxes=has_boxes,
+        has_rot_boxes=has_rot_boxes,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
         img_aw=img_aw, t_min=t_min, max_depth=float(max_depth),
-        cull_s=cull_s, cull_q=cull_q)
+        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b)
 
     grid = (q // TN,)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -518,7 +659,9 @@ def _bwd_call(state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out, *,
                          memory_space=pltpu.VMEM),
             acc((24, s_count)),
             acc((24, q_count)),
+            acc((24, b_count)),
             acc(atlas.shape),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -530,6 +673,7 @@ def _bwd_call(state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out, *,
                          memory_space=pltpu.VMEM),
             acc((24, s_count)),
             acc((24, q_count)),
+            acc((24, b_count)),
             pl.BlockSpec((8, TN), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             acc(atlas.shape),
@@ -538,16 +682,18 @@ def _bwd_call(state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out, *,
             jax.ShapeDtypeStruct((16, q), jnp.float32),
             jax.ShapeDtypeStruct((24, s_count), jnp.float32),
             jax.ShapeDtypeStruct((24, q_count), jnp.float32),
+            jax.ShapeDtypeStruct((24, b_count), jnp.float32),
             jax.ShapeDtypeStruct((8, q), jnp.float32),
             jax.ShapeDtypeStruct(atlas.shape, jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((k_steps * 16, TN), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=3 * k_steps * 40 * q * (s_count + q_count),
+            flops=3 * k_steps * 40 * q * (s_count + q_count + b_count),
             bytes_accessed=4 * (4 * 16 * q + 2 * q
-                                + 4 * 24 * (s_count + q_count)),
+                                + 4 * 24 * (s_count + q_count
+                                            + b_count)),
             transcendentals=3 * k_steps * q * 40),
-    )(state, keys, sph24, quad24, atlas, bg8, sb, qb, d_out)
+    )(state, keys, sph24, quad24, box24, atlas, bg8, sb, qb, bb, d_out)
     return out
 
 
@@ -559,38 +705,45 @@ def _bwd_call(state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out, *,
 @functools.lru_cache(maxsize=None)
 def bounce_chain(k_steps: int, moving: bool, has_quads: bool,
                  has_perlin: bool, has_images: bool, img_ah: int,
-                 img_aw: int, max_depth: int, t_min: float):
+                 img_aw: int, max_depth: int, t_min: float,
+                 has_boxes: bool = False, has_rot_boxes: bool = False):
     """K fused bounce steps as a reverse-differentiable primitive.
 
-    Returns chain(state, keys, sph24, quad24, bg8, atlas) -> state'.
+    Returns chain(state, keys, sph24, quad24, box24, bg8, atlas, sb,
+    qb, bb) -> state'.
     Forward = the forward megakernel; backward = one replay+adjoint
     Pallas launch. Residuals are just the chain's inputs, so scanning
     the chain gives per-K-bounce checkpointing for free."""
 
     kwargs = dict(k_steps=k_steps, moving=moving, has_quads=has_quads,
+                  has_boxes=has_boxes, has_rot_boxes=has_rot_boxes,
                   has_perlin=has_perlin, has_images=has_images,
                   img_ah=img_ah, img_aw=img_aw, t_min=t_min,
                   max_depth=max_depth)
 
     @jax.custom_vjp
-    def chain(state, keys, sph24, quad24, bg8, atlas, sb, qb):
+    def chain(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb):
         med24 = jnp.zeros((8, 24), jnp.float32)
         return mk.bounce_steps(state, keys, sph24, quad24, med24, bg8,
-                               atlas, sb, qb, n_media=0, **kwargs)
+                               atlas, sb, qb, box24, bb, n_media=0,
+                               **kwargs)
 
-    def fwd(state, keys, sph24, quad24, bg8, atlas, sb, qb):
-        out = chain(state, keys, sph24, quad24, bg8, atlas, sb, qb)
-        return out, (state, keys, sph24, quad24, bg8, atlas, sb, qb)
+    def fwd(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb):
+        out = chain(state, keys, sph24, quad24, box24, bg8, atlas, sb,
+                    qb, bb)
+        return out, (state, keys, sph24, quad24, box24, bg8, atlas, sb,
+                     qb, bb)
 
     def bwd(res, d_out):
-        state, keys, sph24, quad24, bg8, atlas, sb, qb = res
-        dsi, dsph, dquad, dbg_lanes, datlas = _bwd_call(
-            state, keys, sph24, quad24, bg8, atlas, sb, qb, d_out,
-            **kwargs)
+        state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb = res
+        dsi, dsph, dquad, dbox, dbg_lanes, datlas = _bwd_call(
+            state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
+            d_out, **kwargs)
         d_bg8 = jnp.sum(dbg_lanes, axis=1)
         d_keys = np.zeros(keys.shape, jax.dtypes.float0)
-        return (dsi, d_keys, dsph, dquad, d_bg8, datlas,
-                jnp.zeros_like(sb), jnp.zeros_like(qb))
+        return (dsi, d_keys, dsph, dquad, dbox, d_bg8, datlas,
+                jnp.zeros_like(sb), jnp.zeros_like(qb),
+                jnp.zeros_like(bb))
 
     chain.defvjp(fwd, bwd)
     return chain

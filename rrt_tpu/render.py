@@ -217,6 +217,10 @@ def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
     sb = ops_mega.pack_sphere_bounds(scene)
     qb = (ops_mega.pack_quad_bounds(scene) if scene.has_quads
           else jnp.zeros((1, 8), jnp.float32))
+    box24 = (ops_mega.pack_boxes_full(scene) if scene.has_boxes
+             else jnp.zeros((24, ops_mega.TS), jnp.float32))
+    bb = (ops_mega.pack_box_bounds(scene) if scene.has_boxes
+          else jnp.zeros((1, 8), jnp.float32))
     # No near-first tile ordering here: a traced argsort+gather feeding
     # a pallas_call inside lax.while_loop costs ~100 ms/outer on the
     # tunnel runtime (measured: chap12 queue 21 -> 2.3 Mrays/s). The
@@ -232,8 +236,11 @@ def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
         chain = mkv.bounce_chain(
             k, scene.has_moving, scene.has_quads, scene.has_perlin,
             scene.has_images, scene.images.shape[1],
-            scene.images.shape[2], max_depth, t_min)
-        st = chain(st, keys, sph24, quad24, bg8, atlas, sb, qb)
+            scene.images.shape[2], max_depth, t_min,
+            has_boxes=scene.has_boxes,
+            has_rot_boxes=scene.has_rot_boxes)
+        st = chain(st, keys, sph24, quad24, box24, bg8, atlas, sb, qb,
+                   bb)
         if j < len(schedule) - 1:
             st, keys, lane = _compact_lanes(st, keys, lane)
 
@@ -344,8 +351,8 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
                     else None)
         bb_mk = (ops_mega.pack_box_bounds(scene) if scene.has_boxes
                  else None)
-        # No near-first ordering (see trace_batch_fused): the traced
-        # permutation costs ~100 ms/outer inside the while_loop here.
+        # No near-first ordering (see trace_batch_fused note): the
+        # traced permutation costs ~100 ms/outer inside the while_loop.
 
     ones_q = jnp.ones((q,), jnp.float32)
     zeros_q = jnp.zeros((q,), jnp.float32)

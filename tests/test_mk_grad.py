@@ -104,10 +104,39 @@ def test_chain_grads_cornell_quads_emissive():
     _compare(scene, cam, 32, 32)
 
 
-def test_box_scene_out_of_backward_scope():
-    scene, _ = cornell_box_scene(16, 16)
-    assert scene.has_boxes
-    assert not mkv.supports_backward(scene)
+def test_chain_grads_cornell_box_family():
+    """The stock cornell scene (rotated box-family primitives) through
+    the fused-vjp chain: slab-face t and rotated normals re-derived from
+    the winner rows; d_sel_b scatters through the one-hot transpose.
+    Gradients for box_center/box_half must match the XLA scan path,
+    which differentiates geometry.intersect_boxes directly."""
+    scene, cam = cornell_box_scene(32, 32)
+    assert scene.has_boxes and scene.has_rot_boxes
+    assert mkv.supports_backward(scene)
+    _compare(scene, cam, 32, 32)
+
+
+def test_chain_grads_axis_aligned_boxes():
+    """Axis-aligned box family (the RTTNW-ground shape) with a sky
+    background and a sphere alongside."""
+    from rrt_tpu.camera import Camera
+    from rrt_tpu.scene import SceneBuilder
+    b = SceneBuilder()
+    b.box((-2.0, -1.2, -4.0), (2.0, -0.6, -2.0),
+          b.lambertian((0.4, 0.6, 0.3)))
+    b.box((-0.6, -0.6, -3.4), (0.6, 0.6, -2.6),
+          b.metal((0.8, 0.7, 0.6), 0.05))
+    b.sphere((1.2, 0.2, -3.0), 0.5, b.lambertian((0.7, 0.2, 0.2)))
+    scene = b.build()
+    assert scene.has_boxes and not scene.has_rot_boxes
+    assert mkv.supports_backward(scene)
+    # Non-zero aperture so the focus_dist gradient is a real signal
+    # (at aperture 0 it is analytically zero and both paths return
+    # roundoff dust that the relative check can't compare).
+    cam = Camera.create(look_from=(0.0, 0.8, 1.5),
+                        look_at=(0.0, -0.2, -3.0), fov_deg=45.0,
+                        aspect=1.0, aperture=0.2, focus_dist=4.5)
+    _compare(scene, cam, 32, 32)
 
 
 def test_chain_grads_moving_spheres():
