@@ -32,10 +32,10 @@ import jax.numpy as jnp
 N_ITERS = 5
 
 
-def _timed(fn, sync):
-    """Median + spread of N_ITERS runs of fn() (hard-synced by sync)."""
+def _timed(fn, sync, n=None):
+    """Median + spread of n (default N_ITERS) runs of fn()."""
     ts = []
-    for _ in range(N_ITERS):
+    for _ in range(n or N_ITERS):
         t0 = time.time()
         sync(fn())
         ts.append(time.time() - t0)
@@ -116,6 +116,27 @@ def main():
 
     bwd_med, bwd_min, bwd_max = _timed(lambda: grad_fn(params), sync_tree)
 
+    # --- fused tile train step: full image at 8spp, depth 50 ------------
+    # (ops.megakernel_train: one spill-forward launch + one segmented
+    # replay+adjoint launch; the round-3 answer to "train at queue
+    # speed". Reported as its own fields — the headline keeps its
+    # round-1 definition for comparability.)
+    from rrt_tpu.render import trace_tiles, trace_tiles_diff
+    cfg8 = RenderConfig(width=width, height=height, spp=8, max_depth=50)
+
+    def train_loss(p):
+        s = combine(scene, p)
+        rad, n = trace_tiles_diff(s, cam, cfg8, 0)
+        return jnp.mean(rad), n
+
+    train_grad = jax.jit(jax.grad(lambda p: train_loss(p)[0]))
+    fwd8 = jax.jit(lambda: trace_tiles(scene, cam, cfg8, 0))
+    jax.block_until_ready(train_grad(params))
+    jax.block_until_ready(fwd8())
+    n_train_rays = float(jax.jit(lambda p: train_loss(p)[1])(params))
+    train_med, _, _ = _timed(lambda: train_grad(params), sync_tree, n=3)
+    fwd8_med, _, _ = _timed(fwd8, sync_tree, n=3)
+
     # fwd+bwd Mrays/s: rays traced in forward plus the backward's
     # replay+adjoint rays, over the combined median wall time.
     total_rays = fwd_rays + 2.0 * n_bwd_rays
@@ -147,6 +168,11 @@ def main():
             "bwd_depth": bwd_depth,
             "bwd_step_s_median": round(bwd_med, 3),
             "bwd_s_spread": [round(bwd_min, 3), round(bwd_max, 3)],
+            "train_step_8spp_s": round(train_med, 3),
+            "train_fwd_8spp_s": round(fwd8_med, 3),
+            "train_ratio_vs_fwd": round(train_med / fwd8_med, 2),
+            "train_mrays_per_s": round(n_train_rays / train_med / 1e6,
+                                       2),
             "scene_build_s": round(build_s, 3),
             "fwd_rays": fwd_rays,
             "bwd_rays": n_bwd_rays,

@@ -11,8 +11,10 @@ from .camera import Camera, generate_rays
 from .geometry import Hit, intersect_all, make_hit
 from .materials import Scatter, scatter
 from .render import (RenderConfig, background_color, render_image,
-                     render_image_queue, render_tile, tonemap, trace_batch,
-                     trace_queue)
+                     render_image_diff, render_image_queue,
+                     render_image_tiles, render_tile, tonemap,
+                     trace_batch, trace_queue, trace_tiles,
+                     trace_tiles_diff)
 from .scene import SceneArrays, SceneBuilder
 from .vec import V3
 

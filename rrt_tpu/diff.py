@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .camera import Camera
 from .parallel.mesh import render_image_sharded
-from .render import RenderConfig, render_image
+from .render import RenderConfig, render_image, render_image_diff
 from .scene import SceneArrays
 
 # Scene leaves that make sense to optimize (continuous scene parameters).
@@ -55,7 +55,7 @@ def render_loss(params: dict, camera: Camera, scene: SceneArrays,
     """MSE between a differentiable render and a target image."""
     s = combine(scene, params)
     if mesh is None:
-        img, _ = render_image(s, camera, cfg, seed, differentiable=True)
+        img, _ = render_image_diff(s, camera, cfg, seed)
     else:
         img, _ = render_image_sharded(s, camera, cfg, seed, mesh,
                                       differentiable=True)

@@ -1,0 +1,729 @@
+"""Tile-resident fused training step: differentiable `render_tiles`.
+
+Round 2's chain-based custom_vjp (ops.megakernel_vjp) made the backward
+pass a Pallas kernel, but the *driver* around it stayed XLA: camera ray
+generation, state packing, two stream compactions and their transposes,
+and the pack/unpack glue add ~25 ms of fusions plus ~50 ms of dispatch
+gaps per grad step on this runtime — 5-6x the kernel time. This module
+removes the driver entirely by making the tile-resident renderer
+(ops.megakernel.render_tiles — one launch for all pixels x samples,
+in-kernel camera + regeneration) reverse-differentiable:
+
+  * forward  = `render_tiles_spill`: the tile free-run kernel, plus a
+    side output that spills the full loop carry every K-th step (the
+    "segment boundaries" of classic sqrt-checkpointing) and the
+    executed step count. Costs a few % over the plain forward.
+  * backward = `_train_bwd_kernel`: ONE launch. Per ray tile, walk the
+    segments in reverse: reload the boundary carry, replay its K steps
+    into VMEM scratch (every draw is counter-addressed, so replay is
+    exact), then sweep those steps backward — re-derive each step from
+    the winner's packed attributes as a compact differentiable function
+    (megakernel_vjp._make_diff_step) *extended with the flush/regenerate
+    tail*, and transpose it with `jax.vjp` inside the kernel body. The
+    loss cotangent enters as a per-pixel radiance gradient operand
+    (seeding d_pend at each sample-finish flush), and camera gradients
+    are accumulated in-kernel through the regeneration rays' thin-lens
+    math — no XLA transpose of the ray generator is ever built.
+
+Memory: O(sqrt(n_steps)) — boundary buffer (ceil(max_steps/K) x 24 rows
+per lane, written by the forward) + one K x 24-row VMEM scratch. Total
+backward compute is replay (1x) + re-derive (1x) + adjoint, i.e. ~2-3x
+the forward kernel, with zero glue between.
+
+Gradient scope: exactly megakernel_vjp.supports_backward (everything the
+forward megakernel shades except constant media). Discrete decisions
+(argmin winners, roots, branches, texel ids, sample/chain advancement)
+are replayed constants, per path-replay backprop (SURVEY.md §5.7).
+
+Replay caveat (shared with megakernel_vjp): the backward replays with a
+*separately compiled* kernel; ulp-level fusion differences can flip a
+near-tie discrete decision on a sub-percent fraction of lanes, in which
+case those lanes contribute the gradient of the (equally valid) replayed
+path — bounded noise for SGD, the same divergence class the forward
+drivers already document for cross-driver comparisons.
+
+Reference analog: the recursive trace + rayon pixel loop of
+/root/reference/src/lib.rs:50-111, which has no backward at all.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rng
+from . import megakernel as mk
+from . import megakernel_vjp as mkv
+from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_LAMBERTIAN,
+                     MAT_METAL)
+
+TN = mk.TN
+TS = mk.TS
+INF = mk.INF
+
+# Carry spill layout, f32 (24, TN): rows 0-15 the packed ray state
+# (megakernel.py state layout; alive as f32), 16 sample, 17 chain,
+# 18 pxr, 19 pyr, 20 gidf, 21-22 key words (u32 bitcast), 23 pad.
+CROWS = 24
+
+
+def _seg_k(max_steps: int) -> int:
+    """Segment length: balance the K-row VMEM scratch against the
+    ceil(max_steps/K)-row boundary buffer (sqrt-checkpointing)."""
+    k = int(np.ceil(np.sqrt(max(max_steps, 1))))
+    k = -(-k // 8) * 8
+    return max(8, min(48, k, max_steps))
+
+
+def _pack_carry(rows_f, sample, chain, pxr, pyr, gidf, k0, k1):
+    k0f = jax.lax.bitcast_convert_type(k0, jnp.float32)
+    k1f = jax.lax.bitcast_convert_type(k1, jnp.float32)
+    pad = jnp.zeros((1, TN), jnp.float32)
+    return jnp.concatenate(
+        list(rows_f) + [sample, chain, pxr, pyr, gidf, k0f, k1f, pad],
+        axis=0)
+
+
+def _unpack_carry(blk):
+    rows_f = tuple(blk[i:i + 1] for i in range(16))
+    sample = blk[16:17]
+    chain = blk[17:18]
+    pxr = blk[18:19]
+    pyr = blk[19:20]
+    gidf = blk[20:21]
+    k0 = jax.lax.bitcast_convert_type(blk[21:22], jnp.uint32)
+    k1 = jax.lax.bitcast_convert_type(blk[22:23], jnp.uint32)
+    return rows_f, sample, chain, pxr, pyr, gidf, k0, k1
+
+
+def _meta_at(meta_ref, chains, chain, row):
+    """Per-lane meta `row` of each lane's current chain pixel (same
+    select chain as the forward tile kernel)."""
+    v = meta_ref[row:row + 1, pl.ds(0, TN)]
+    for c in range(1, chains):
+        v = jnp.where(chain == jnp.float32(c),
+                      meta_ref[row:row + 1, pl.ds(c * TN, TN)], v)
+    return v
+
+
+def _advance(rows_f, rows2, sample, chain, pxr, pyr, gidf, k0, k1, *,
+             meta_ref, cam_ref, s0, s1, lo, spp, chains):
+    """The tile free-run's post-bounce state advance: flush decision,
+    sample/chain stepping, key refresh, camera regeneration. Mirrors
+    ops.megakernel._tile_render_kernel's body op-for-op so replay is
+    bit-exact. Returns (new carry parts, flags for the adjoint)."""
+    alive_in = rows_f[14] > 0.5
+    alive2 = rows2[14]  # bool survives from _one_bounce
+    die = alive_in & jnp.logical_not(alive2)
+    last = sample >= jnp.float32(spp - 1)
+    fin = die & last
+    finf = fin.astype(jnp.float32)
+
+    nxt = chain + finf
+    nv = _meta_at(meta_ref, chains,
+                  jnp.minimum(nxt, jnp.float32(chains - 1)), 3) > 0.5
+    adv = fin & (chain < jnp.float32(chains - 1)) & nv
+    regen = (die & jnp.logical_not(last)) | adv
+    chain_n = chain + adv.astype(jnp.float32)
+    sample_n = jnp.where(die & jnp.logical_not(last), sample + 1.0,
+                         jnp.where(adv, 0.0, sample))
+    pxr_n = jnp.where(adv, _meta_at(meta_ref, chains, chain_n, 0), pxr)
+    pyr_n = jnp.where(adv, _meta_at(meta_ref, chains, chain_n, 1), pyr)
+    gidf_n = jnp.where(adv, _meta_at(meta_ref, chains, chain_n, 2), gidf)
+    gid = gidf_n.astype(jnp.int32).astype(jnp.uint32)
+
+    k0n, k1n = rng.threefry2x32(
+        s0, s1, gid, sample_n.astype(jnp.int32).astype(jnp.uint32) + lo)
+    k0_n = jnp.where(regen, k0n, k0)
+    k1_n = jnp.where(regen, k1n, k1)
+    cox, coy, coz, cdx, cdy, cdz, ctm = mk._camera_rays(
+        cam_ref, k0_n, k1_n, pxr_n, pyr_n)
+    new = (jnp.where(regen, cox, rows2[0]),
+           jnp.where(regen, coy, rows2[1]),
+           jnp.where(regen, coz, rows2[2]),
+           jnp.where(regen, cdx, rows2[3]),
+           jnp.where(regen, cdy, rows2[4]),
+           jnp.where(regen, cdz, rows2[5]),
+           jnp.where(regen, ctm, rows2[6]),
+           jnp.where(regen, 1.0, rows2[7]),
+           jnp.where(regen, 1.0, rows2[8]),
+           jnp.where(regen, 1.0, rows2[9]),
+           rows2[10] * (1.0 - finf),
+           rows2[11] * (1.0 - finf),
+           rows2[12] * (1.0 - finf),
+           jnp.where(regen, 0.0, rows2[13]),
+           (alive2 | regen).astype(jnp.float32),
+           rows2[15])
+    flags = dict(finf=finf, regen=regen, chain=chain, k0_n=k0_n,
+                 k1_n=k1_n, pxr_n=pxr_n, pyr_n=pyr_n)
+    return (new, sample_n, chain_n, pxr_n, pyr_n, gidf_n, k0_n, k1_n), \
+        flags
+
+
+# ---------------------------------------------------------------------------
+# Differentiable camera-ray math (AD twin of megakernel._camera_rays)
+# ---------------------------------------------------------------------------
+
+
+def _camera_draws(k0, k1):
+    """The per-lane uniforms the thin-lens generator consumes — pure
+    functions of the key words (replayed constants in the adjoint)."""
+    us = []
+    for pair in range(3):
+        a, b = rng.threefry2x32(
+            k0, k1, jnp.uint32(0),
+            jnp.uint32(pair) * jnp.uint32(0x9E3779B9) + jnp.uint32(pair))
+        us.append(rng._to_uniform(a))
+        us.append(rng._to_uniform(b))
+    jx, jy, u2, u3, time_u = us[0], us[1], us[2], us[3], us[4]
+    r = jnp.sqrt(u2)
+    theta = (2.0 * jnp.pi) * u3
+    return jx, jy, r * jnp.cos(theta), r * jnp.sin(theta), time_u
+
+
+def _camera_ray_rows(cam, pxr, pyr, draws):
+    """Thin-lens ray from 24 (1,TN) camera rows — same expressions as
+    megakernel._camera_rays but with the camera traced for jax.vjp."""
+    jx, jy, dcx, dcy, time_u = draws
+    s = (pxr + jx) / cam[21]
+    t = ((cam[23] - pyr) + jy) / cam[22]
+    rdx = cam[18] * dcx
+    rdy = cam[18] * dcy
+    ox = cam[0] + cam[12] * rdx + cam[15] * rdy
+    oy = cam[1] + cam[13] * rdx + cam[16] * rdy
+    oz = cam[2] + cam[14] * rdx + cam[17] * rdy
+    dx = cam[3] + cam[6] * s + cam[9] * t - ox
+    dy = cam[4] + cam[7] * s + cam[10] * t - oy
+    dz = cam[5] + cam[8] * s + cam[11] * t - oz
+    tm = cam[19] + cam[20] * time_u
+    return ox, oy, oz, dx, dy, dz, tm
+
+
+# ---------------------------------------------------------------------------
+# Forward: tile free-run with segment-boundary spill
+# ---------------------------------------------------------------------------
+
+
+def _train_fwd_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
+                      box_ref, atlas_ref, bg_ref, sb_ref, qb_ref, bb_ref,
+                      out_ref, bounds_ref, *, spp, chains, max_steps,
+                      seg_k, s_tiles, q_tiles, b_tiles, moving,
+                      has_quads, has_boxes, has_rot_boxes, has_perlin,
+                      has_images, img_ah, img_aw, t_min, max_depth,
+                      cull_s, cull_q, cull_b):
+    s0 = seed_ref[0]
+    s1 = seed_ref[1]
+    lo = seed_ref[2]
+    bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
+              has_quads=has_quads, has_perlin=has_perlin,
+              has_images=has_images, img_ah=img_ah, img_aw=img_aw,
+              n_media=0, t_min=t_min, max_depth=max_depth,
+              sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
+              box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
+              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
+    adv_kw = dict(meta_ref=meta_ref, cam_ref=cam_ref, s0=s0, s1=s1,
+                  lo=lo, spp=spp, chains=chains)
+
+    out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    chain0 = jnp.zeros((1, TN), jnp.float32)
+    pxr = _meta_at(meta_ref, chains, chain0, 0)
+    pyr = _meta_at(meta_ref, chains, chain0, 1)
+    gidf = _meta_at(meta_ref, chains, chain0, 2)
+    valid = _meta_at(meta_ref, chains, chain0, 3) > 0.5
+    gid = gidf.astype(jnp.int32).astype(jnp.uint32)
+
+    zeros = jnp.zeros((1, TN), jnp.float32)
+    ones = jnp.ones((1, TN), jnp.float32)
+    k0, k1 = rng.threefry2x32(s0, s1, gid, lo)
+    ox, oy, oz, dx, dy, dz, tm = mk._camera_rays(cam_ref, k0, k1, pxr,
+                                                 pyr)
+    rows0 = (ox, oy, oz, dx, dy, dz, tm, ones, ones, ones,
+             zeros, zeros, zeros, zeros, valid.astype(jnp.float32),
+             zeros)
+    carry0 = rows0 + (zeros, chain0, pxr, pyr, gidf, k0, k1,
+                      jnp.zeros((), jnp.int32))
+
+    def cond(carry):
+        return jnp.any(carry[14] > 0.5) & (carry[23] < max_steps)
+
+    def body(carry):
+        rows_f = carry[:16]
+        sample, chain, pxr, pyr, gidf = carry[16:21]
+        k0, k1, kstep = carry[21], carry[22], carry[23]
+
+        # Segment-boundary spill: the carry entering step kstep.
+        @pl.when(kstep % seg_k == 0)
+        def _():
+            bounds_ref[pl.ds(
+                pl.multiple_of((kstep // seg_k) * CROWS, 8), CROWS),
+                :] = _pack_carry(rows_f, sample, chain, pxr, pyr, gidf,
+                                 k0, k1)
+
+        rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
+        rows2, _ = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref, None,
+                                  atlas_ref, bg_ref, **bk)
+        (new, sample_n, chain_n, pxr_n, pyr_n, gidf_n, k0_n,
+         k1_n), fl = _advance(rows_f, rows2, sample, chain, pxr, pyr,
+                              gidf, k0, k1, **adv_kw)
+
+        # Flush finished pixels' radiance into their chain's out block.
+        finf = fl["finf"]
+        for c in range(chains):
+            m = finf * (chain == jnp.float32(c)).astype(jnp.float32)
+            out_ref[0:3, pl.ds(c * TN, TN)] += jnp.concatenate(
+                [rows2[10] * m, rows2[11] * m, rows2[12] * m], axis=0)
+
+        return new + (sample_n, chain_n, pxr_n, pyr_n, gidf_n, k0_n,
+                      k1_n, kstep + 1)
+
+    end = jax.lax.while_loop(cond, body, carry0)
+    out_ref[3:4, pl.ds(0, TN)] = end[15]  # per-lane traced counts
+    out_ref[4:5, pl.ds(0, TN)] = jnp.full(  # executed step count
+        (1, TN), end[23].astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Backward: segmented replay + in-kernel adjoint
+# ---------------------------------------------------------------------------
+
+
+def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
+                      sph_ref, quad_ref, box_ref, atlas_ref, bg_ref,
+                      sb_ref, qb_ref, bb_ref, bounds_ref,
+                      dsph_ref, dquad_ref, dbox_ref, dbg_ref, datlas_ref,
+                      dcam_ref, steps_ref, *, spp, chains, seg_k,
+                      n_bounds, s_tiles, q_tiles, b_tiles, moving,
+                      has_quads, has_boxes, has_rot_boxes, has_perlin,
+                      has_images, img_ah, img_aw, t_min, max_depth,
+                      cull_s, cull_q, cull_b):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dsph_ref[:, :] = jnp.zeros(dsph_ref.shape, jnp.float32)
+        dquad_ref[:, :] = jnp.zeros(dquad_ref.shape, jnp.float32)
+        dbox_ref[:, :] = jnp.zeros(dbox_ref.shape, jnp.float32)
+        dbg_ref[:, :] = jnp.zeros(dbg_ref.shape, jnp.float32)
+        datlas_ref[:, :] = jnp.zeros(datlas_ref.shape, jnp.float32)
+        dcam_ref[:, :] = jnp.zeros(dcam_ref.shape, jnp.float32)
+
+    s0 = seed_ref[0]
+    s1 = seed_ref[1]
+    lo = seed_ref[2]
+    n_steps = nsteps_ref[0, pl.program_id(0)]
+    bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
+              has_quads=has_quads, has_perlin=has_perlin,
+              has_images=has_images, img_ah=img_ah, img_aw=img_aw,
+              n_media=0, t_min=t_min, max_depth=max_depth,
+              sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
+              box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
+              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
+    adv_kw = dict(meta_ref=meta_ref, cam_ref=cam_ref, s0=s0, s1=s1,
+                  lo=lo, spp=spp, chains=chains)
+
+    cam_rows = tuple(jnp.full((1, TN), cam_ref[i], jnp.float32)
+                     for i in range(24))
+    bg6 = tuple(jnp.full((1, TN), bg_ref[i], jnp.float32)
+                for i in range(6))
+    is_sky = bg_ref[6] < 0.5
+    atlas = atlas_ref[:, :] if has_images else None
+
+    zrow = jnp.zeros((1, TN), jnp.float32)
+    carry0 = tuple(zrow for _ in range(13))  # d_state
+    carry0 += tuple(zrow for _ in range(6))  # d_bg
+    carry0 += tuple(zrow for _ in range(24))  # d_cam (lane-parallel)
+    if has_images:
+        carry0 += (jnp.zeros(atlas.shape, jnp.float32),)
+
+    n_segs = (n_steps + seg_k - 1) // seg_k
+
+    def drad_at(chain, row):
+        v = drad_ref[row:row + 1, pl.ds(0, TN)]
+        for c in range(1, chains):
+            v = jnp.where(chain == jnp.float32(c),
+                          drad_ref[row:row + 1, pl.ds(c * TN, TN)], v)
+        return v
+
+    def seg_body(i, carry):
+        seg = n_segs - 1 - i
+        base = seg * seg_k
+        nk = jnp.minimum(seg_k, n_steps - base)
+        bblk = bounds_ref[pl.ds(pl.multiple_of(seg * CROWS, 8), CROWS),
+                          :]
+
+        # --- replay the segment's steps into VMEM scratch -------------
+        def rep(k, rc):
+            steps_ref[pl.ds(pl.multiple_of(k * CROWS, 8), CROWS), :] = \
+                _pack_carry(*rc)
+            rows_f, sample, chain, pxr, pyr, gidf, k0, k1 = rc
+            rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
+            rows2, _ = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref,
+                                      None, atlas_ref, bg_ref, **bk)
+            nxt, _ = _advance(rows_f, rows2, sample, chain, pxr, pyr,
+                              gidf, k0, k1, **adv_kw)
+            return nxt
+
+        rc0 = _unpack_carry(bblk)
+        jax.lax.fori_loop(0, nk, rep, rc0)
+
+        # --- reverse sweep over the segment's steps --------------------
+        def rev(j, dc):
+            k = nk - 1 - j
+            blk = steps_ref[pl.ds(pl.multiple_of(k * CROWS, 8), CROWS),
+                            :]
+            rows_f, sample, chain, pxr, pyr, gidf, k0, k1 = \
+                _unpack_carry(blk)
+            rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
+            rows2, aux = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref,
+                                        None, atlas_ref, bg_ref,
+                                        want_aux=True, **bk)
+            _, fl = _advance(rows_f, rows2, sample, chain, pxr, pyr,
+                             gidf, k0, k1, **adv_kw)
+
+            sel_s = aux["sel_s"]
+            sel_q = aux["sel_q"]
+            mtype = sel_s[8:9]
+            if has_boxes:
+                sel_b = aux["sel_b"]
+                mtype = jnp.where(aux["use_b"], sel_b[9:10], mtype)
+            if has_quads:
+                mtype = jnp.where(aux["use_q"], sel_q[14:15], mtype)
+            consts = dict(
+                t_hit=aux["t_hit"], use_q=aux["use_q"], hit=aux["hit"],
+                miss=aux["miss"], survives=aux["survives"],
+                front=aux["front"], degen=aux["degen"],
+                do_reflect=aux["do_reflect"], use_c2=aux["use_c2"],
+                draws=aux["draws"], is_sky=is_sky,
+                is_lam=mtype == MAT_LAMBERTIAN,
+                is_met=mtype == MAT_METAL,
+                is_die=mtype == MAT_DIELECTRIC,
+                is_light=mtype == MAT_DIFFUSE_LIGHT)
+            if has_boxes:
+                consts["use_b"] = aux["use_b"]
+            if has_perlin:
+                consts["is_per"] = aux["is_per"]
+            if has_images:
+                consts["is_img"] = aux["is_img"]
+                consts["xi"] = aux["xi"]
+                consts["img_row"] = aux["img_row"]
+
+            g = mkv._make_diff_step(
+                consts, moving=moving, has_quads=has_quads,
+                has_boxes=has_boxes, has_rot_boxes=has_rot_boxes,
+                has_perlin=has_perlin, has_images=has_images,
+                img_ah=img_ah, img_aw=img_aw)
+
+            finf = fl["finf"]
+            regf = fl["regen"].astype(jnp.float32)
+            draws_n = _camera_draws(fl["k0_n"], fl["k1_n"])
+            pxr_n, pyr_n = fl["pxr_n"], fl["pyr_n"]
+            n_g = 14 + (1 if has_quads else 0) + (1 if has_boxes else 0) \
+                + 6 + (1 if has_images else 0)
+
+            def g2(*args):
+                out13 = g(*args[:n_g])
+                cam = args[n_g:n_g + 24]
+                flush = (out13[10] * finf, out13[11] * finf,
+                         out13[12] * finf)
+                cox, coy, coz, cdx, cdy, cdz, ctm = _camera_ray_rows(
+                    cam, pxr_n, pyr_n, draws_n)
+                nxt = (regf * cox + (1.0 - regf) * out13[0],
+                       regf * coy + (1.0 - regf) * out13[1],
+                       regf * coz + (1.0 - regf) * out13[2],
+                       regf * cdx + (1.0 - regf) * out13[3],
+                       regf * cdy + (1.0 - regf) * out13[4],
+                       regf * cdz + (1.0 - regf) * out13[5],
+                       regf * ctm + (1.0 - regf) * out13[6],
+                       (1.0 - regf) * out13[7],
+                       (1.0 - regf) * out13[8],
+                       (1.0 - regf) * out13[9],
+                       out13[10] * (1.0 - finf),
+                       out13[11] * (1.0 - finf),
+                       out13[12] * (1.0 - finf))
+                return nxt + flush
+
+            diff_ins = list(rows_f[:13]) + [sel_s]
+            if has_quads:
+                diff_ins.append(sel_q)
+            if has_boxes:
+                diff_ins.append(sel_b)
+            diff_ins += list(bg6)
+            if has_images:
+                diff_ins.append(atlas)
+            diff_ins += list(cam_rows)
+
+            d_flush = tuple(drad_at(chain, r) for r in range(3))
+            _, vjp_fn = jax.vjp(g2, *diff_ins)
+            grads = vjp_fn(tuple(dc[:13]) + d_flush)
+
+            d13 = tuple(grads[:13])
+            d_sel_s = grads[13]
+            gi = 14
+            if has_quads:
+                d_sel_q = grads[gi]
+                gi += 1
+            if has_boxes:
+                d_sel_b = grads[gi]
+                gi += 1
+            dbg_new = tuple(dc[13 + ci] + grads[gi + ci]
+                            for ci in range(6))
+            gi += 6
+            if has_images:
+                datlas_new = dc[43] + grads[gi]
+                gi += 1
+            dcam_new = tuple(dc[19 + ci] + grads[gi + ci]
+                             for ci in range(24))
+
+            # Winner-attribute cotangents -> primitive packs (transpose
+            # of the forward's one-hot selection; MXU contraction).
+            win_s = aux["win_s"].astype(jnp.int32)
+
+            def scat(dref, d_sel, win, n_tiles):
+                def sc(si, _):
+                    off = pl.multiple_of(si * TS, TS)
+                    rows_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (TS, TN), 0)
+                    oh = (rows_iota == (win - si * TS)).astype(
+                        jnp.float32)
+                    dref[:, pl.ds(off, TS)] += jax.lax.dot_general(
+                        d_sel, oh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    return 0
+                jax.lax.fori_loop(0, n_tiles, sc, 0)
+
+            scat(dsph_ref, d_sel_s, win_s, s_tiles)
+            if has_quads:
+                scat(dquad_ref, d_sel_q, aux["win_q"].astype(jnp.int32),
+                     q_tiles)
+            if has_boxes:
+                scat(dbox_ref, d_sel_b, aux["win_b"].astype(jnp.int32),
+                     b_tiles)
+
+            out = d13 + dbg_new + dcam_new
+            if has_images:
+                out = out + (datlas_new,)
+            return out
+
+        return jax.lax.fori_loop(0, nk, rev, carry)
+
+    carry = jax.lax.fori_loop(0, n_segs, seg_body, carry0)
+
+    # --- initial camera-ray generation (step -1): d_state -> d_cam -----
+    chain0 = jnp.zeros((1, TN), jnp.float32)
+    pxr0 = _meta_at(meta_ref, chains, chain0, 0)
+    pyr0 = _meta_at(meta_ref, chains, chain0, 1)
+    gid0 = _meta_at(meta_ref, chains, chain0, 2).astype(
+        jnp.int32).astype(jnp.uint32)
+    k0i, k1i = rng.threefry2x32(s0, s1, gid0, lo)
+    draws0 = _camera_draws(k0i, k1i)
+
+    def g0(*cam):
+        return _camera_ray_rows(cam, pxr0, pyr0, draws0)
+
+    _, vjp0 = jax.vjp(g0, *cam_rows)
+    dcam0 = vjp0(tuple(carry[:7]))
+
+    dbg_ref[:, :] += jnp.concatenate(
+        list(carry[13:19]) + [jnp.zeros((2, TN), jnp.float32)], axis=0)
+    dcam_ref[:, :] += jnp.concatenate(
+        [carry[19 + i] + dcam0[i] for i in range(24)], axis=0)
+    if has_images:
+        datlas_ref[:, :] += carry[43]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper over the packed operands
+# ---------------------------------------------------------------------------
+
+
+def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb,
+              qb, bb, *, spp, chains, **flags):
+    npad = meta.shape[1]
+    block = chains * TN
+    s_count = sph24.shape[1]
+    q_count = quad24.shape[1]
+    b_count = box24.shape[1]
+    max_steps = chains * spp * (int(flags["max_depth"]) + 2) + 1
+    seg_k = _seg_k(max_steps)
+    n_bounds = -(-max_steps // seg_k)
+    cull_s = s_count // TS >= mk.CULL_MIN_TILES
+    cull_q = flags["has_quads"] and q_count // TS >= mk.CULL_MIN_TILES
+    cull_b = flags["has_boxes"] and b_count // TS >= mk.CULL_MIN_TILES
+
+    kern = functools.partial(
+        _train_fwd_kernel, spp=spp, chains=chains, max_steps=max_steps,
+        seg_k=seg_k, s_tiles=s_count // TS, q_tiles=q_count // TS,
+        b_tiles=b_count // TS, cull_s=cull_s, cull_q=cull_q,
+        cull_b=cull_b, **flags)
+    n_lanes = npad // chains
+    out, bounds = pl.pallas_call(
+        kern,
+        grid=(npad // block,),
+        in_specs=[
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((24, s_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, q_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, b_count), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(atlas.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bounds * CROWS, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((n_bounds * CROWS, n_lanes),
+                                 jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=spp * 3 * 40 * npad * (s_count + q_count + b_count),
+            bytes_accessed=4 * (9 * npad + n_bounds * CROWS * n_lanes
+                                + 24 * (s_count + q_count + b_count)),
+            transcendentals=spp * 3 * npad * 40),
+    )(meta, seed2, cam24, sph24, quad24, box24, atlas, bg8, sb, qb, bb)
+    return out, bounds
+
+
+def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
+              bg8, atlas, sb, qb, bb, bounds, *, spp, chains, **flags):
+    npad = meta.shape[1]
+    block = chains * TN
+    s_count = sph24.shape[1]
+    q_count = quad24.shape[1]
+    b_count = box24.shape[1]
+    max_steps = chains * spp * (int(flags["max_depth"]) + 2) + 1
+    seg_k = _seg_k(max_steps)
+    n_bounds = -(-max_steps // seg_k)
+    cull_s = s_count // TS >= mk.CULL_MIN_TILES
+    cull_q = flags["has_quads"] and q_count // TS >= mk.CULL_MIN_TILES
+    cull_b = flags["has_boxes"] and b_count // TS >= mk.CULL_MIN_TILES
+
+    kern = functools.partial(
+        _train_bwd_kernel, spp=spp, chains=chains, seg_k=seg_k,
+        n_bounds=n_bounds, s_tiles=s_count // TS,
+        q_tiles=q_count // TS, b_tiles=b_count // TS, cull_s=cull_s,
+        cull_q=cull_q, cull_b=cull_b, **flags)
+
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(npad // block,),
+        in_specs=[
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            acc((24, s_count)),
+            acc((24, q_count)),
+            acc((24, b_count)),
+            acc(atlas.shape),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_bounds * CROWS, TN), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            acc((24, s_count)),
+            acc((24, q_count)),
+            acc((24, b_count)),
+            acc((8, TN)),
+            acc(atlas.shape),
+            acc((24, TN)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((24, s_count), jnp.float32),
+            jax.ShapeDtypeStruct((24, q_count), jnp.float32),
+            jax.ShapeDtypeStruct((24, b_count), jnp.float32),
+            jax.ShapeDtypeStruct((8, TN), jnp.float32),
+            jax.ShapeDtypeStruct(atlas.shape, jnp.float32),
+            jax.ShapeDtypeStruct((24, TN), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((seg_k * CROWS, TN), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * spp * 3 * 40 * npad
+            * (s_count + q_count + b_count),
+            bytes_accessed=4 * (9 * npad
+                                + 2 * n_bounds * CROWS * npad // chains
+                                + 24 * (s_count + q_count + b_count)),
+            transcendentals=3 * spp * 3 * npad * 40),
+    )(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24, atlas,
+      bg8, sb, qb, bb, bounds)
+    return outs
+
+
+@functools.lru_cache(maxsize=None)
+def tile_train_chain(spp: int, chains: int, moving: bool,
+                     has_quads: bool, has_boxes: bool,
+                     has_rot_boxes: bool, has_perlin: bool,
+                     has_images: bool, img_ah: int, img_aw: int,
+                     max_depth: int, t_min: float):
+    """The tile-resident renderer as a reverse-differentiable primitive.
+
+    chain(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb, qb,
+    bb) -> out (8, NP) [rows 0-2 radiance sums, row 3 traced counts].
+    Forward = one spill-augmented render_tiles launch; backward = one
+    segmented replay+adjoint launch producing cotangents for cam24 and
+    every primitive pack — scene/camera gradients then flow through the
+    (tiny, dense) XLA transposes of the pack_* functions."""
+    flags = dict(moving=moving, has_quads=has_quads, has_boxes=has_boxes,
+                 has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
+                 has_images=has_images, img_ah=img_ah, img_aw=img_aw,
+                 t_min=t_min, max_depth=float(max_depth))
+
+    @jax.custom_vjp
+    def chain(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb,
+              qb, bb):
+        out, _ = _fwd_call(meta, seed2, cam24, sph24, quad24, box24,
+                           bg8, atlas, sb, qb, bb, spp=spp,
+                           chains=chains, **flags)
+        return out
+
+    def fwd(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb,
+            qb, bb):
+        out, bounds = _fwd_call(meta, seed2, cam24, sph24, quad24,
+                                box24, bg8, atlas, sb, qb, bb, spp=spp,
+                                chains=chains, **flags)
+        block = chains * TN
+        nsteps = out[4].reshape(-1, block)[:, 0].astype(jnp.int32)[None]
+        return out, (meta, seed2, cam24, sph24, quad24, box24, bg8,
+                     atlas, sb, qb, bb, bounds, nsteps)
+
+    def bwd(res, d_out):
+        (meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb, qb,
+         bb, bounds, nsteps) = res
+        drad = d_out[0:4]
+        dsph, dquad, dbox, dbg_l, datlas, dcam_l = _bwd_call(
+            meta, drad, nsteps, seed2, cam24, sph24, quad24, box24, bg8,
+            atlas, sb, qb, bb, bounds, spp=spp, chains=chains, **flags)
+        dcam24 = jnp.sum(dcam_l, axis=1)
+        dbg8 = jnp.sum(dbg_l, axis=1)
+        d_seed = np.zeros(seed2.shape, jax.dtypes.float0)
+        return (jnp.zeros_like(meta), d_seed, dcam24, dsph, dquad, dbox,
+                dbg8, datlas, jnp.zeros_like(sb), jnp.zeros_like(qb),
+                jnp.zeros_like(bb))
+
+    chain.defvjp(fwd, bwd)
+    return chain

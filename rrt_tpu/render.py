@@ -586,16 +586,10 @@ def tile_chains(cfg: RenderConfig) -> int:
     return max(1, min(n_pix // (4 * ops_mega.TN), 16))
 
 
-def tile_call(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
-              seed_key, meta, chains: int, sample_lo, n_samples: int):
-    """Pack + launch the tile-resident megakernel on a pixel-meta block
-    (the shard-aware core of trace_tiles; meta columns may be any
-    pack_pixel_meta shard whose width is a multiple of chains*TN).
-    Returns the raw (8, NP) kernel output."""
-    s0, s1 = rng._seed_words(seed_key)
-    seed2 = jnp.stack([
-        s0, s1, jnp.asarray(sample_lo).astype(jnp.uint32),
-        jnp.uint32(0)]).astype(jnp.uint32)
+def _tile_packs(scene: SceneArrays, camera: Camera, cfg: RenderConfig):
+    """Primitive/camera packs for the tile-resident drivers (near-first
+    tile order applied). All outputs are differentiable jnp functions of
+    (scene, camera), so pack cotangents transpose back automatically."""
     cam24 = ops_mega.pack_camera(camera, cfg.width, cfg.height)
     sph24 = ops_mega.pack_spheres_full(scene)
     quad24 = (ops_mega.pack_quads_full(scene) if scene.has_quads
@@ -616,6 +610,21 @@ def tile_call(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
     if scene.has_boxes:
         box24, bb = ops_mega.order_tiles_near_first(box24, bb,
                                                     camera.look_from)
+    return cam24, sph24, quad24, box24, med24, bg8, atlas, sb, qb, bb
+
+
+def tile_call(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
+              seed_key, meta, chains: int, sample_lo, n_samples: int):
+    """Pack + launch the tile-resident megakernel on a pixel-meta block
+    (the shard-aware core of trace_tiles; meta columns may be any
+    pack_pixel_meta shard whose width is a multiple of chains*TN).
+    Returns the raw (8, NP) kernel output."""
+    s0, s1 = rng._seed_words(seed_key)
+    seed2 = jnp.stack([
+        s0, s1, jnp.asarray(sample_lo).astype(jnp.uint32),
+        jnp.uint32(0)]).astype(jnp.uint32)
+    (cam24, sph24, quad24, box24, med24, bg8, atlas, sb, qb,
+     bb) = _tile_packs(scene, camera, cfg)
     return ops_mega.render_tiles(
         meta, seed2, cam24, sph24, quad24, med24, bg8, atlas, sb, qb,
         box24, bb,
@@ -655,6 +664,85 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
         jnp.stack([out[0] * validf, out[1] * validf, out[2] * validf],
                   axis=-1), mode="drop")
     return rad, jnp.sum(out[3])
+
+
+def tile_chains_diff(cfg: RenderConfig, n_samples: int) -> int:
+    """Pixels per lane for the differentiable tile driver. Capped so the
+    backward's segment-boundary buffer (ceil(chains*spp*52/K) x 24 rows
+    per lane, K<=48) stays a few MB of VMEM: chains*spp <= 64. Larger
+    per-step sample budgets should accumulate gradients over
+    sample_lo chunks instead."""
+    n_pix = cfg.width * cfg.height
+    return max(1, min(16, 64 // max(1, n_samples),
+                      n_pix // (4 * ops_mega.TN)))
+
+
+def trace_tiles_diff(scene: SceneArrays, camera: Camera,
+                     cfg: RenderConfig, seed, sample_lo=0,
+                     n_samples: int | None = None,
+                     chains: int | None = None):
+    """Reverse-differentiable tile-resident render (fused train path).
+
+    Same contract as trace_tiles — (radiance sums (P,3), n_traced) —
+    but the whole render is a custom_vjp primitive
+    (ops.megakernel_train.tile_train_chain): forward is one
+    spill-augmented launch, backward is one segmented replay+adjoint
+    launch that emits camera and primitive-pack cotangents in-kernel.
+    Requires mkv.supports_backward(scene) (media fall back to
+    trace_batch's scan path via render_image)."""
+    from .ops import megakernel_train as mkt
+
+    n_samples = cfg.spp if n_samples is None else n_samples
+    seed_key = _as_key(seed)
+    n_pix = cfg.width * cfg.height
+    if chains is None:
+        chains = tile_chains_diff(cfg, n_samples)
+    meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height,
+                                    chains * ops_mega.TN)
+    s0, s1 = rng._seed_words(seed_key)
+    seed2 = jnp.stack([
+        s0, s1, jnp.asarray(sample_lo).astype(jnp.uint32),
+        jnp.uint32(0)]).astype(jnp.uint32)
+    (cam24, sph24, quad24, box24, _med24, bg8, atlas, sb, qb,
+     bb) = _tile_packs(scene, camera, cfg)
+    if atlas is None:
+        atlas = jnp.zeros((8, 128), jnp.float32)
+    if box24 is None:
+        box24 = jnp.zeros((24, ops_mega.TS), jnp.float32)
+        bb = jnp.zeros((1, 8), jnp.float32)
+    if qb is None:
+        qb = jnp.zeros((1, 8), jnp.float32)
+    chain = mkt.tile_train_chain(
+        n_samples, chains, scene.has_moving, scene.has_quads,
+        scene.has_boxes, scene.has_rot_boxes, scene.has_perlin,
+        scene.has_images, scene.images.shape[1], scene.images.shape[2],
+        cfg.max_depth, cfg.t_min)
+    out = chain(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas,
+                sb, qb, bb)
+    gid = meta[2].astype(jnp.int32)
+    validf = meta[3]
+    rad = jnp.zeros((n_pix, 3), jnp.float32).at[gid].add(
+        jnp.stack([out[0] * validf, out[1] * validf, out[2] * validf],
+                  axis=-1), mode="drop")
+    return rad, jnp.sum(jax.lax.stop_gradient(out[3]))
+
+
+def render_image_diff(scene: SceneArrays, camera: Camera,
+                      cfg: RenderConfig, seed):
+    """Differentiable full-image render, fastest available path.
+
+    On TPU, kernel-supported scenes ride the fused tile train path
+    (trace_tiles_diff: one forward launch + one backward launch);
+    everything else (media scenes, CPU) uses the rematerialized-scan
+    batch driver. Returns (image (H,W,3) mean radiance, n_traced)."""
+    from .ops import megakernel_vjp as mkv
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and cfg.use_megakernel and mkv.supports_backward(scene):
+        rad, n = trace_tiles_diff(scene, camera, cfg, seed)
+        image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(
+            cfg.spp)
+        return image, n
+    return render_image(scene, camera, cfg, seed, differentiable=True)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

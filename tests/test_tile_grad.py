@@ -1,0 +1,174 @@
+"""Fused tile-resident train path (ops.megakernel_train) vs the XLA
+scan path.
+
+trace_tiles_diff renders pixels x samples in one spill-augmented launch
+and differentiates with one segmented replay+adjoint launch, with the
+camera adjoint computed in-kernel. Its loss values and gradients (scene
+params + camera) must match trace_batch's rematerialized scan, which is
+itself FD-verified in test_grad.py. Runs in Pallas interpret mode on
+CPU, so sizes are kept tiny."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import rrt_tpu.ops.megakernel as mk
+import rrt_tpu.ops.megakernel_train as mkt
+import rrt_tpu.ops.megakernel_vjp as mkv
+from rrt_tpu import rng
+from rrt_tpu.camera import generate_rays
+from rrt_tpu.diff import combine, partition
+from rrt_tpu.render import RenderConfig, trace_batch, trace_tiles_diff
+from rrt_tpu.scenes import chap12_scene, cornell_box_scene
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mk.pl, "pallas_call", interp)
+    monkeypatch.setattr(mkt.pl, "pallas_call", interp)
+
+
+def _compare(scene, cam, w, h, spp=2, max_depth=3, rtol=2e-3,
+             sample_lo=0, cam_rtol=1e-2):
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=max_depth)
+    n_pix = w * h
+
+    def rad_tile(params, camera):
+        s = combine(scene, params)
+        rad, _ = trace_tiles_diff(s, camera, cfg, 0,
+                                  sample_lo=sample_lo)
+        return rad
+
+    def rad_ref(params, camera):
+        s = combine(scene, params)
+        ids = jnp.arange(n_pix, dtype=jnp.int32)
+        px, py = ids % w, ids // w
+        tot = jnp.zeros((n_pix, 3), jnp.float32)
+        for samp in range(sample_lo, sample_lo + spp):
+            keys = rng.sample_keys(jax.random.key(0),
+                                   (py * w + px).astype(jnp.uint32),
+                                   samp)
+            o, d, tm = generate_rays(camera, px, py, w, h, keys)
+            rad, _ = trace_batch(s, o, d, tm, keys, max_depth, 1e-3,
+                                 differentiable=True)
+            tot = tot + jnp.stack([rad.x, rad.y, rad.z], axis=-1)
+        return tot
+
+    params = partition(scene)
+
+    # The tile kernels and the XLA scan compile the same f32 expression
+    # trees through different fusions; rare near-tie decision flips make
+    # a few pixels trace different paths (the documented cross-driver
+    # divergence class). Require >=99% pixel agreement, then zero those
+    # pixels' loss weights so both paths differentiate the identical
+    # path set.
+    rt = np.asarray(rad_tile(params, cam))
+    rr = np.asarray(rad_ref(params, cam))
+    agree = (np.abs(rt - rr) <= 1e-4 * (1.0 + np.abs(rr))).all(axis=1)
+    assert agree.mean() >= 0.99, f"pixel agreement {agree.mean():.4f}"
+    weight = jnp.sin(jnp.arange(n_pix) * 0.1) * jnp.asarray(
+        agree.astype(np.float32))
+
+    def loss_tile(params, camera):
+        rad = rad_tile(params, camera)
+        return jnp.sum(weight * (rad[:, 0] + 0.7 * rad[:, 1]
+                                 + 0.3 * rad[:, 2]))
+
+    def loss_ref(params, camera):
+        rad = rad_ref(params, camera)
+        return jnp.sum(weight * (rad[:, 0] + 0.7 * rad[:, 1]
+                                 + 0.3 * rad[:, 2]))
+
+    vt, vr = float(loss_tile(params, cam)), float(loss_ref(params, cam))
+    assert vt == pytest.approx(vr, rel=1e-4), (vt, vr)
+
+    gtp, gtc = jax.grad(loss_tile, argnums=(0, 1))(params, cam)
+    grp, grc = jax.grad(loss_ref, argnums=(0, 1))(params, cam)
+    for k in sorted(grp):
+        a, b = np.asarray(gtp[k]), np.asarray(grp[k])
+        assert np.isfinite(a).all(), f"nonfinite tile grad for {k}"
+        scale = max(np.abs(b).max(), 1e-4)
+        close = np.abs(a - b) <= rtol * scale
+        if a.size > 64:
+            # A lane can also flip between the forward spill kernel and
+            # the backward replay (separately compiled); that lane
+            # contributes the replayed path's gradient — bounded noise
+            # on the few components its primitive touches (module
+            # docstring "replay caveat"). Allow 0.5% outliers on large
+            # tables.
+            frac = close.mean()
+            assert frac >= 0.995, (f"param {k}: {frac:.4f} within tol, "
+                                   f"worst {np.abs(a - b).max():.3e}")
+        else:
+            np.testing.assert_allclose(a, b, atol=rtol * scale,
+                                       err_msg=f"param {k}")
+    # Camera tolerance is wider than the param one: the loss is wildly
+    # discontinuous in camera parameters (FD at eps=2e-3 measures ~250
+    # vs an analytic grad of ~0.04 on chap12), so the analytic gradient
+    # is a small residual of large cancelling per-ray terms and ulp-
+    # level fusion differences between the in-kernel and XLA expression
+    # trees amplify to ~0.3% (verified: the spp=2 forward is path-
+    # identical to 4e-6, so no decision flips are involved).
+    if cam_rtol is None:
+        return
+    for f in dataclasses.fields(grc):
+        a = np.asarray(getattr(gtc, f.name))
+        b = np.asarray(getattr(grc, f.name))
+        scale = max(np.abs(b).max(), 1e-4)
+        np.testing.assert_allclose(a, b, atol=cam_rtol * scale,
+                                   err_msg=f"camera {f.name}")
+
+
+def test_tile_grads_chap12():
+    scene, cam = chap12_scene(32, 18)
+    assert mkv.supports_backward(scene)
+    _compare(scene, cam, 32, 18)
+
+
+def test_tile_grads_cornell_box_family():
+    """Rotated box family + emissive quads + black background, with a
+    multi-sample free run (spp=2 exercises the in-sample regeneration
+    adjoint; the cornell camera has aperture 0 so lens gradients are
+    exactly zero on both paths)."""
+    scene, cam = cornell_box_scene(24, 24)
+    assert scene.has_boxes and scene.has_rot_boxes
+    _compare(scene, cam, 24, 24)
+
+
+def test_tile_grads_progressive_chunk():
+    """sample_lo > 0 (a resumed/progressive chunk) must replay the same
+    keys as the batch driver's matching sample range. This config has
+    one fwd-spill/bwd-replay near-tie flip (module docstring "replay
+    caveat") whose lane dominates the tiny camera-grad residuals
+    (focus_dist grad ~0.01 here), so the camera compare is skipped; the
+    strict camera contract is the sample_lo=0 tests above, and this
+    test's job — per-sample key addressing — is covered by the primal
+    agreement gate plus the scene-param gradients."""
+    scene, cam = chap12_scene(24, 16)
+    _compare(scene, cam, 24, 16, spp=2, sample_lo=3, cam_rtol=None)
+
+
+def test_tile_forward_matches_render_tiles():
+    """The spill-augmented forward must reproduce the plain tile
+    driver's radiance, up to near-tie decision flips on a sub-percent
+    pixel fraction (the two kernels compile the same expression trees
+    through different fusions)."""
+    from rrt_tpu.render import trace_tiles
+    scene, cam = chap12_scene(32, 18)
+    cfg = RenderConfig(width=32, height=18, spp=2, max_depth=3)
+    rad, n = trace_tiles(scene, cam, cfg, 0)
+    rad2, n2 = trace_tiles_diff(scene, cam, cfg, 0, chains=1)
+    a, b = np.asarray(rad), np.asarray(rad2)
+    agree = (np.abs(a - b) <= 2e-4 * (1.0 + np.abs(a))).all(axis=1)
+    assert agree.mean() >= 0.99, f"pixel agreement {agree.mean():.4f}"
+    assert float(n2) == pytest.approx(float(n), rel=2e-2)
