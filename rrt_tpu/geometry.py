@@ -217,7 +217,7 @@ def _medium_interval(scene: SceneArrays, o: V3, d: V3):
     """(t_enter, t_exit, valid) of each ray with each medium boundary over
     the unbounded line, shapes (N,D). Media are few (<=8), so a python
     loop over media with (N,) component math is the cheapest form."""
-    n_media = scene.n_media
+    n_media = scene.n_media_active
     enters, exits, oks = [], [], []
     c_all = V3.from_array(scene.med_center)
     a = d.norm_sq()  # (N,)
@@ -281,8 +281,9 @@ def intersect_media(scene: SceneArrays, o: V3, d: V3, t_min, t_max,
     d_norm = d.norm()[None, :]
     dist_inside = (t_exit - t_enter) * d_norm
     # neg_inv_density * log(U) == -log(U)/density (both factors negative).
-    hit_dist = scene.med_neg_inv_density[:, None] * jnp.log(
-        jnp.maximum(u_med, 1e-12))
+    nd = scene.n_media_active
+    hit_dist = scene.med_neg_inv_density[:nd, None] * jnp.log(
+        jnp.maximum(u_med[:nd], 1e-12))
     ok = ok & (hit_dist <= dist_inside)
     t = t_enter + hit_dist / d_norm
 

@@ -802,6 +802,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 med_u.append(rng._to_uniform(b_w))
             t_med = jnp.full((1, TN), INF, jnp.float32)
             m_alb = [jnp.zeros((1, TN), jnp.float32) for _ in range(3)]
+            i_med = jnp.zeros((1, TN), jnp.float32)
             inv_dlen = 1.0 / jnp.maximum(d_len, 1e-20)
             for mi in range(n_media):
                 valid_m = med_ref[mi, 18]
@@ -864,6 +865,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 bfm = better_m.astype(jnp.float32)
                 m_alb = [bfm * med_ref[mi, 19 + c] + (1.0 - bfm) * m_alb[c]
                          for c in range(3)]
+                i_med = bfm * jnp.float32(mi) + (1.0 - bfm) * i_med
             use_med = t_med < t_hit
             t_hit = jnp.where(use_med, t_med, t_hit)
         else:
@@ -1163,6 +1165,9 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         aux_out["xi"] = xi
         aux_out["yi"] = yi
         aux_out["img_row"] = row
+    if n_media > 0:
+        aux_out["use_med"] = use_med
+        aux_out["win_med"] = i_med
     return new_rows, aux_out
 
 

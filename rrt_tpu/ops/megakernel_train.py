@@ -58,8 +58,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import rng
 from . import megakernel as mk
 from . import megakernel_vjp as mkv
-from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_LAMBERTIAN,
-                     MAT_METAL)
+from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
+                     MAT_LAMBERTIAN, MAT_METAL)
 
 TN = mk.TN
 TS = mk.TS
@@ -209,19 +209,20 @@ def _camera_ray_rows(cam, pxr, pyr, draws):
 
 
 def _train_fwd_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
-                      box_ref, atlas_ref, bg_ref, sb_ref, qb_ref, bb_ref,
+                      box_ref, med_ref, atlas_ref, bg_ref, sb_ref,
+                      qb_ref, bb_ref,
                       out_ref, bounds_ref, *, spp, chains, max_steps,
                       seg_k, s_tiles, q_tiles, b_tiles, moving,
                       has_quads, has_boxes, has_rot_boxes, has_perlin,
-                      has_images, img_ah, img_aw, t_min, max_depth,
-                      cull_s, cull_q, cull_b):
+                      has_images, img_ah, img_aw, n_media, t_min,
+                      max_depth, cull_s, cull_q, cull_b):
     s0 = seed_ref[0]
     s1 = seed_ref[1]
     lo = seed_ref[2]
     bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
               has_quads=has_quads, has_perlin=has_perlin,
               has_images=has_images, img_ah=img_ah, img_aw=img_aw,
-              n_media=0, t_min=t_min, max_depth=max_depth,
+              n_media=n_media, t_min=t_min, max_depth=max_depth,
               sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
               has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
@@ -265,8 +266,8 @@ def _train_fwd_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
                                  k0, k1)
 
         rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
-        rows2, _ = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref, None,
-                                  atlas_ref, bg_ref, **bk)
+        rows2, _ = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref,
+                                  med_ref, atlas_ref, bg_ref, **bk)
         (new, sample_n, chain_n, pxr_n, pyr_n, gidf_n, k0_n,
          k1_n), fl = _advance(rows_f, rows2, sample, chain, pxr, pyr,
                               gidf, k0, k1, **adv_kw)
@@ -293,14 +294,15 @@ def _train_fwd_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
 
 
 def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
-                      sph_ref, quad_ref, box_ref, atlas_ref, bg_ref,
-                      sb_ref, qb_ref, bb_ref, bounds_ref,
+                      sph_ref, quad_ref, box_ref, med_ref, atlas_ref,
+                      bg_ref, sb_ref, qb_ref, bb_ref, bounds_ref,
                       dsph_ref, dquad_ref, dbox_ref, dbg_ref, datlas_ref,
-                      dcam_ref, steps_ref, *, spp, chains, seg_k,
+                      dcam_ref, dmed_ref, steps_ref, *, spp, chains,
+                      seg_k,
                       n_bounds, s_tiles, q_tiles, b_tiles, moving,
                       has_quads, has_boxes, has_rot_boxes, has_perlin,
-                      has_images, img_ah, img_aw, t_min, max_depth,
-                      cull_s, cull_q, cull_b):
+                      has_images, img_ah, img_aw, n_media, t_min,
+                      max_depth, cull_s, cull_q, cull_b):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dsph_ref[:, :] = jnp.zeros(dsph_ref.shape, jnp.float32)
@@ -309,6 +311,7 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
         dbg_ref[:, :] = jnp.zeros(dbg_ref.shape, jnp.float32)
         datlas_ref[:, :] = jnp.zeros(datlas_ref.shape, jnp.float32)
         dcam_ref[:, :] = jnp.zeros(dcam_ref.shape, jnp.float32)
+        dmed_ref[:, :] = jnp.zeros(dmed_ref.shape, jnp.float32)
 
     s0 = seed_ref[0]
     s1 = seed_ref[1]
@@ -317,7 +320,7 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
     bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
               has_quads=has_quads, has_perlin=has_perlin,
               has_images=has_images, img_ah=img_ah, img_aw=img_aw,
-              n_media=0, t_min=t_min, max_depth=max_depth,
+              n_media=n_media, t_min=t_min, max_depth=max_depth,
               sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
               has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
@@ -330,6 +333,15 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                 for i in range(6))
     is_sky = bg_ref[6] < 0.5
     atlas = atlas_ref[:, :] if has_images else None
+    # Traced medium parameter rows (the 11 continuous columns of the
+    # pack_media layout) + replayed per-medium constants.
+    MED_COLS = (1, 2, 3, 4, 5, 6, 7, 17, 19, 20, 21)
+    med_rows = [tuple(jnp.full((1, TN), med_ref[mi, col], jnp.float32)
+                      for col in MED_COLS) for mi in range(n_media)]
+    med_is_sph = [jnp.full((1, TN), med_ref[mi, 0], jnp.float32) < 0.5
+                  for mi in range(n_media)]
+    med_rot = [[med_ref[mi, 8 + j] for j in range(9)]
+               for mi in range(n_media)]
 
     zrow = jnp.zeros((1, TN), jnp.float32)
     carry0 = tuple(zrow for _ in range(13))  # d_state
@@ -337,6 +349,8 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
     carry0 += tuple(zrow for _ in range(24))  # d_cam (lane-parallel)
     if has_images:
         carry0 += (jnp.zeros(atlas.shape, jnp.float32),)
+    carry0 += tuple(zrow for _ in range(11 * n_media))  # d_med
+    med_off = 43 + (1 if has_images else 0)
 
     n_segs = (n_steps + seg_k - 1) // seg_k
 
@@ -361,7 +375,7 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
             rows_f, sample, chain, pxr, pyr, gidf, k0, k1 = rc
             rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
             rows2, _ = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref,
-                                      None, atlas_ref, bg_ref, **bk)
+                                      med_ref, atlas_ref, bg_ref, **bk)
             nxt, _ = _advance(rows_f, rows2, sample, chain, pxr, pyr,
                               gidf, k0, k1, **adv_kw)
             return nxt
@@ -378,7 +392,7 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                 _unpack_carry(blk)
             rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
             rows2, aux = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref,
-                                        None, atlas_ref, bg_ref,
+                                        med_ref, atlas_ref, bg_ref,
                                         want_aux=True, **bk)
             _, fl = _advance(rows_f, rows2, sample, chain, pxr, pyr,
                              gidf, k0, k1, **adv_kw)
@@ -391,6 +405,9 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                 mtype = jnp.where(aux["use_b"], sel_b[9:10], mtype)
             if has_quads:
                 mtype = jnp.where(aux["use_q"], sel_q[14:15], mtype)
+            if n_media > 0:
+                mtype = jnp.where(aux["use_med"],
+                                  jnp.float32(MAT_ISOTROPIC), mtype)
             consts = dict(
                 t_hit=aux["t_hit"], use_q=aux["use_q"], hit=aux["hit"],
                 miss=aux["miss"], survives=aux["survives"],
@@ -409,19 +426,41 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                 consts["is_img"] = aux["is_img"]
                 consts["xi"] = aux["xi"]
                 consts["img_row"] = aux["img_row"]
+            if n_media > 0:
+                consts["use_med"] = aux["use_med"]
+                consts["win_med"] = aux["win_med"]
+                consts["med_is_sph"] = med_is_sph
+                consts["med_rot"] = med_rot
+                # The medium-interaction uniforms: same counter
+                # addressing as the forward's in-kernel draws.
+                cm = (rows_f[13].astype(jnp.int32).astype(jnp.uint32)
+                      * jnp.uint32(rng._NUM_STREAMS)
+                      + jnp.uint32(rng.STREAM_MEDIUM))
+                logu = []
+                for pair in range((n_media + 1) // 2):
+                    a_w, b_w = rng.threefry2x32(
+                        k0, k1, cm,
+                        jnp.uint32(pair) * jnp.uint32(0x9E3779B9)
+                        + jnp.uint32(pair))
+                    logu.append(jnp.log(jnp.maximum(
+                        rng._to_uniform(a_w), 1e-12)))
+                    logu.append(jnp.log(jnp.maximum(
+                        rng._to_uniform(b_w), 1e-12)))
+                consts["med_logu"] = logu
 
             g = mkv._make_diff_step(
                 consts, moving=moving, has_quads=has_quads,
                 has_boxes=has_boxes, has_rot_boxes=has_rot_boxes,
                 has_perlin=has_perlin, has_images=has_images,
-                img_ah=img_ah, img_aw=img_aw)
+                img_ah=img_ah, img_aw=img_aw, n_media=n_media,
+                t_min=t_min)
 
             finf = fl["finf"]
             regf = fl["regen"].astype(jnp.float32)
             draws_n = _camera_draws(fl["k0_n"], fl["k1_n"])
             pxr_n, pyr_n = fl["pxr_n"], fl["pyr_n"]
             n_g = 14 + (1 if has_quads else 0) + (1 if has_boxes else 0) \
-                + 6 + (1 if has_images else 0)
+                + 6 + (1 if has_images else 0) + 11 * n_media
 
             def g2(*args):
                 out13 = g(*args[:n_g])
@@ -453,6 +492,8 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
             diff_ins += list(bg6)
             if has_images:
                 diff_ins.append(atlas)
+            for mi in range(n_media):
+                diff_ins += list(med_rows[mi])
             diff_ins += list(cam_rows)
 
             d_flush = tuple(drad_at(chain, r) for r in range(3))
@@ -474,6 +515,9 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
             if has_images:
                 datlas_new = dc[43] + grads[gi]
                 gi += 1
+            dmed_new = tuple(dc[med_off + ci] + grads[gi + ci]
+                             for ci in range(11 * n_media))
+            gi += 11 * n_media
             dcam_new = tuple(dc[19 + ci] + grads[gi + ci]
                              for ci in range(24))
 
@@ -506,6 +550,7 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
             out = d13 + dbg_new + dcam_new
             if has_images:
                 out = out + (datlas_new,)
+            out = out + dmed_new
             return out
 
         return jax.lax.fori_loop(0, nk, rev, carry)
@@ -533,6 +578,14 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
         [carry[19 + i] + dcam0[i] for i in range(24)], axis=0)
     if has_images:
         datlas_ref[:, :] += carry[43]
+    if n_media > 0:
+        # Scatter the 11 continuous columns back into the (D, 24)
+        # pack_media layout (lane-parallel; reduced in XLA).
+        MED_COLS = (1, 2, 3, 4, 5, 6, 7, 17, 19, 20, 21)
+        for mi in range(n_media):
+            for j, col in enumerate(MED_COLS):
+                dmed_ref[mi * 24 + col: mi * 24 + col + 1, :] += \
+                    carry[med_off + mi * 11 + j]
 
 
 # ---------------------------------------------------------------------------
@@ -540,8 +593,15 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb,
-              qb, bb, *, spp, chains, **flags):
+def supports_train(scene) -> bool:
+    """Tile-train-kernel gradient scope: everything the forward
+    megakernel shades, including constant media up to 4 slots (each
+    medium adds 11 traced rows to the in-kernel adjoint)."""
+    return mk.supports(scene) and scene.n_media_active <= 4
+
+
+def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
+              atlas, sb, qb, bb, *, spp, chains, **flags):
     npad = meta.shape[1]
     block = chains * TN
     s_count = sph24.shape[1]
@@ -574,6 +634,7 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((24, b_count), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(atlas.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -597,12 +658,14 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb,
             bytes_accessed=4 * (9 * npad + n_bounds * CROWS * n_lanes
                                 + 24 * (s_count + q_count + b_count)),
             transcendentals=spp * 3 * npad * 40),
-    )(meta, seed2, cam24, sph24, quad24, box24, atlas, bg8, sb, qb, bb)
+    )(meta, seed2, cam24, sph24, quad24, box24, med24, atlas, bg8, sb,
+      qb, bb)
     return out, bounds
 
 
 def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
-              bg8, atlas, sb, qb, bb, bounds, *, spp, chains, **flags):
+              med24, bg8, atlas, sb, qb, bb, bounds, *, spp, chains,
+              **flags):
     npad = meta.shape[1]
     block = chains * TN
     s_count = sph24.shape[1]
@@ -621,6 +684,7 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
         q_tiles=q_count // TS, b_tiles=b_count // TS, cull_s=cull_s,
         cull_q=cull_q, cull_b=cull_b, **flags)
 
+    md = max(1, flags["n_media"])
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -637,6 +701,7 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
             acc((24, s_count)),
             acc((24, q_count)),
             acc((24, b_count)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             acc(atlas.shape),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -652,6 +717,7 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
             acc((8, TN)),
             acc(atlas.shape),
             acc((24, TN)),
+            acc((md * 24, TN)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((24, s_count), jnp.float32),
@@ -660,6 +726,7 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
             jax.ShapeDtypeStruct((8, TN), jnp.float32),
             jax.ShapeDtypeStruct(atlas.shape, jnp.float32),
             jax.ShapeDtypeStruct((24, TN), jnp.float32),
+            jax.ShapeDtypeStruct((md * 24, TN), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((seg_k * CROWS, TN), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -669,8 +736,8 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
                                 + 2 * n_bounds * CROWS * npad // chains
                                 + 24 * (s_count + q_count + b_count)),
             transcendentals=3 * spp * 3 * npad * 40),
-    )(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24, atlas,
-      bg8, sb, qb, bb, bounds)
+    )(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24, med24,
+      atlas, bg8, sb, qb, bb, bounds)
     return outs
 
 
@@ -679,51 +746,62 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
                      has_quads: bool, has_boxes: bool,
                      has_rot_boxes: bool, has_perlin: bool,
                      has_images: bool, img_ah: int, img_aw: int,
-                     max_depth: int, t_min: float):
+                     max_depth: int, t_min: float, n_media: int = 0):
     """The tile-resident renderer as a reverse-differentiable primitive.
 
-    chain(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb, qb,
-    bb) -> out (8, NP) [rows 0-2 radiance sums, row 3 traced counts].
-    Forward = one spill-augmented render_tiles launch; backward = one
-    segmented replay+adjoint launch producing cotangents for cam24 and
-    every primitive pack — scene/camera gradients then flow through the
-    (tiny, dense) XLA transposes of the pack_* functions."""
+    chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8, atlas,
+    sb, qb, bb) -> out (8, NP) [rows 0-2 radiance sums, row 3 traced
+    counts]. Forward = one spill-augmented render_tiles launch;
+    backward = one segmented replay+adjoint launch producing cotangents
+    for cam24 and every primitive/medium pack — scene/camera gradients
+    then flow through the (tiny, dense) XLA transposes of the pack_*
+    functions."""
     flags = dict(moving=moving, has_quads=has_quads, has_boxes=has_boxes,
                  has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
                  has_images=has_images, img_ah=img_ah, img_aw=img_aw,
-                 t_min=t_min, max_depth=float(max_depth))
+                 n_media=n_media, t_min=t_min, max_depth=float(max_depth))
 
     @jax.custom_vjp
-    def chain(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb,
-              qb, bb):
+    def chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
+              atlas, sb, qb, bb):
         out, _ = _fwd_call(meta, seed2, cam24, sph24, quad24, box24,
-                           bg8, atlas, sb, qb, bb, spp=spp,
+                           med24, bg8, atlas, sb, qb, bb, spp=spp,
                            chains=chains, **flags)
         return out
 
-    def fwd(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb,
-            qb, bb):
+    def fwd(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
+            atlas, sb, qb, bb):
         out, bounds = _fwd_call(meta, seed2, cam24, sph24, quad24,
-                                box24, bg8, atlas, sb, qb, bb, spp=spp,
-                                chains=chains, **flags)
+                                box24, med24, bg8, atlas, sb, qb, bb,
+                                spp=spp, chains=chains, **flags)
         block = chains * TN
         nsteps = out[4].reshape(-1, block)[:, 0].astype(jnp.int32)[None]
-        return out, (meta, seed2, cam24, sph24, quad24, box24, bg8,
-                     atlas, sb, qb, bb, bounds, nsteps)
+        return out, (meta, seed2, cam24, sph24, quad24, box24, med24,
+                     bg8, atlas, sb, qb, bb, bounds, nsteps)
 
     def bwd(res, d_out):
-        (meta, seed2, cam24, sph24, quad24, box24, bg8, atlas, sb, qb,
-         bb, bounds, nsteps) = res
+        (meta, seed2, cam24, sph24, quad24, box24, med24, bg8, atlas,
+         sb, qb, bb, bounds, nsteps) = res
         drad = d_out[0:4]
-        dsph, dquad, dbox, dbg_l, datlas, dcam_l = _bwd_call(
-            meta, drad, nsteps, seed2, cam24, sph24, quad24, box24, bg8,
-            atlas, sb, qb, bb, bounds, spp=spp, chains=chains, **flags)
+        dsph, dquad, dbox, dbg_l, datlas, dcam_l, dmed_l = _bwd_call(
+            meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
+            med24, bg8, atlas, sb, qb, bb, bounds, spp=spp,
+            chains=chains, **flags)
         dcam24 = jnp.sum(dcam_l, axis=1)
         dbg8 = jnp.sum(dbg_l, axis=1)
+        if n_media > 0:
+            dmed24 = jnp.sum(
+                dmed_l.reshape(-1, 24, TN), axis=2)[:n_media]
+            dmed24 = jnp.concatenate(
+                [dmed24, jnp.zeros((med24.shape[0] - n_media, 24),
+                                   jnp.float32)], axis=0) \
+                if med24.shape[0] > n_media else dmed24
+        else:
+            dmed24 = jnp.zeros_like(med24)
         d_seed = np.zeros(seed2.shape, jax.dtypes.float0)
         return (jnp.zeros_like(meta), d_seed, dcam24, dsph, dquad, dbox,
-                dbg8, datlas, jnp.zeros_like(sb), jnp.zeros_like(qb),
-                jnp.zeros_like(bb))
+                dmed24, dbg8, datlas, jnp.zeros_like(sb),
+                jnp.zeros_like(qb), jnp.zeros_like(bb))
 
     chain.defvjp(fwd, bwd)
     return chain

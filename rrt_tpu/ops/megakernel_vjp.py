@@ -74,12 +74,15 @@ def supports_backward(scene: SceneArrays) -> bool:
 
 def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
                     has_perlin, has_images,
-                    img_ah, img_aw):
+                    img_ah, img_aw, n_media=0, t_min=1e-3):
     """Build g(*diff_ins) -> 13 continuous output rows.
 
     c: dict of replayed constants (closure, not differentiated).
     diff_ins order: 13 state rows (o, d, time, thr, pend), sel_s,
-    [sel_q], [sel_b], 6 bg rows, [atlas]."""
+    [sel_q], [sel_b], 6 bg rows, [atlas], then for each medium slot
+    11 rows (center xyz, radius, half xyz, neg_inv_density, albedo
+    rgb). Media constants in c: use_med, win_med, med_is_sph[mi],
+    med_rot[mi] (9 scalars), med_logu[mi]."""
 
     def g(*args):
         (ox, oy, oz, dx, dy, dz, time, thx, thy, thz,
@@ -94,7 +97,14 @@ def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
             i += 1
         bg6 = args[i:i + 6]
         i += 6
-        atlas = args[i] if has_images else None
+        atlas = None
+        if has_images:
+            atlas = args[i]
+            i += 1
+        med_ins = []
+        for _mi in range(n_media):
+            med_ins.append(args[i:i + 11])
+            i += 11
 
         a = dx * dx + dy * dy + dz * dz
         o_dot_d = ox * dx + oy * dy + oz * dz
@@ -175,6 +185,58 @@ def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
             t_hit = jnp.where(c["use_q"], t_quad, t_solid)
         else:
             t_hit = t_solid
+
+        # --- winner medium t + albedo (RTTNW ch. 9; decisions —
+        # which medium, scatter-vs-pass — replayed; the continuous
+        # dependence is boundary entry t, neg_inv_density and albedo,
+        # mirroring the XLA scan path's plain-min/max subgradients) ---
+        if n_media > 0:
+            inv_dlen_m = 1.0 / jnp.maximum(d_len, 1e-20)
+            t_med = jnp.zeros_like(t_hit)
+            amr = jnp.zeros_like(t_hit)
+            amg = jnp.zeros_like(t_hit)
+            amb = jnp.zeros_like(t_hit)
+            for mi in range(n_media):
+                (mcx, mcy, mcz, mr, mhx, mhy, mhz, mnid, mar, mag,
+                 mab) = med_ins[mi]
+                ocx = ox - mcx
+                ocy = oy - mcy
+                ocz = oz - mcz
+                hb = ocx * dx + ocy * dy + ocz * dz
+                cc = (ocx * ocx + ocy * ocy + ocz * ocz) - mr * mr
+                disc_m = hb * hb - a * cc
+                dok = jax.lax.stop_gradient(disc_m > 0.0)
+                sqm = jnp.sqrt(jnp.where(dok, disc_m, 1.0))
+                sph_enter = (-hb - sqm) * inv_a
+                lo_m = jnp.full_like(t_hit, -INF)
+                rot = c["med_rot"][mi]  # 9 replayed scalars, row-major
+                halves = (mhx, mhy, mhz)
+                for k in range(3):
+                    ob = (rot[k] * ocx + rot[3 + k] * ocy
+                          + rot[6 + k] * ocz)
+                    db = rot[k] * dx + rot[3 + k] * dy + rot[6 + k] * dz
+                    hk = halves[k]
+                    par = jax.lax.stop_gradient(jnp.abs(db) <= 1e-12)
+                    inv_db = 1.0 / jnp.where(par, 1.0, db)
+                    t1m = (-hk - ob) * inv_db
+                    t2m = (hk - ob) * inv_db
+                    klo = jnp.minimum(t1m, t2m)
+                    inside = jax.lax.stop_gradient(jnp.abs(ob) <= hk)
+                    klo = jnp.where(par,
+                                    jnp.where(inside, -INF, INF), klo)
+                    lo_m = jnp.maximum(lo_m, klo)
+                t_enter = jnp.where(c["med_is_sph"][mi], sph_enter,
+                                    lo_m)
+                te = jnp.maximum(jnp.maximum(t_enter, t_min), 0.0)
+                hit_dist = mnid * c["med_logu"][mi]
+                t_mi = te + hit_dist * inv_dlen_m
+                oh = jax.lax.stop_gradient(
+                    c["win_med"] == jnp.float32(mi))
+                t_med = jnp.where(oh, t_mi, t_med)
+                amr = jnp.where(oh, mar, amr)
+                amg = jnp.where(oh, mag, amg)
+                amb = jnp.where(oh, mab, amb)
+            t_hit = jnp.where(c["use_med"], t_med, t_hit)
 
         t_eff = jnp.where(c["hit"], t_hit, 0.0)
         px_ = ox + t_eff * dx
@@ -269,6 +331,13 @@ def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
         nx_ = outx * sgn
         ny_ = outy * sgn
         nz_ = outz * sgn
+        if n_media > 0:
+            # Medium "surface": arbitrary constant normal (isotropic
+            # scatter ignores it; kills the sphere-winner normal's
+            # spurious gradient on medium lanes).
+            nx_ = jnp.where(c["use_med"], 1.0, nx_)
+            ny_ = jnp.where(c["use_med"], 0.0, ny_)
+            nz_ = jnp.where(c["use_med"], 0.0, nz_)
 
         # --- albedo (checker parity / texel ids replayed) ----------------
         albr = jnp.where(c["use_c2"], c2r, c1r)
@@ -302,6 +371,10 @@ def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
             albr = jnp.where(c["is_img"], img_r, albr)
             albg = jnp.where(c["is_img"], img_g, albg)
             albb = jnp.where(c["is_img"], img_b, albb)
+        if n_media > 0:
+            albr = jnp.where(c["use_med"], amr, albr)
+            albg = jnp.where(c["use_med"], amg, albg)
+            albb = jnp.where(c["use_med"], amb, albb)
 
         # --- scatter (draws + decisions replayed) -------------------------
         ux, uy_, uz, sx, sy, sz, _u_choice = c["draws"]

@@ -85,7 +85,7 @@ def pack_scene(scene: SceneArrays):
         "quad24": (ops_mega.pack_quads_full(scene) if scene.has_quads
                    else jnp.zeros((24, ops_mega.TS), jnp.float32)),
         "med24": ops_mega.pack_media(scene),
-        "n_media": scene.n_media if scene.has_media else 0,
+        "n_media": scene.n_media_active,
     }
 
 
@@ -101,7 +101,7 @@ def _shade(scene: SceneArrays, o: V3, d: V3, time, keys, bounce, alive,
     """
     n = o.x.shape[0]
     if scene.has_media:
-        u_med = rng.medium_draws(keys, bounce, scene.n_media)
+        u_med = rng.medium_draws(keys, bounce, scene.n_media_active)
     else:
         u_med = None
 
@@ -339,7 +339,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
         quad24 = (ops_mega.pack_quads_full(scene) if scene.has_quads
                   else jnp.zeros((24, ops_mega.TS), jnp.float32))
         med24 = ops_mega.pack_media(scene)
-        n_media_mk = scene.n_media if scene.has_media else 0
+        n_media_mk = scene.n_media_active
         bg8 = ops_mega.pack_bg(scene)
         atlas_mk = (ops_mega.pack_atlas(scene) if scene.has_images
                     else None)
@@ -633,7 +633,7 @@ def tile_call(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
         has_boxes=scene.has_boxes, has_rot_boxes=scene.has_rot_boxes,
         has_perlin=scene.has_perlin, has_images=scene.has_images,
         img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
-        n_media=scene.n_media if scene.has_media else 0,
+        n_media=scene.n_media_active,
         max_depth=cfg.max_depth, t_min=cfg.t_min)
 
 
@@ -688,8 +688,8 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
     (ops.megakernel_train.tile_train_chain): forward is one
     spill-augmented launch, backward is one segmented replay+adjoint
     launch that emits camera and primitive-pack cotangents in-kernel.
-    Requires mkv.supports_backward(scene) (media fall back to
-    trace_batch's scan path via render_image)."""
+    Requires mkt.supports_train(scene) (image-on-media textures and
+    >4 media fall back to trace_batch's scan path via render_image)."""
     from .ops import megakernel_train as mkt
 
     n_samples = cfg.spp if n_samples is None else n_samples
@@ -703,7 +703,7 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
     seed2 = jnp.stack([
         s0, s1, jnp.asarray(sample_lo).astype(jnp.uint32),
         jnp.uint32(0)]).astype(jnp.uint32)
-    (cam24, sph24, quad24, box24, _med24, bg8, atlas, sb, qb,
+    (cam24, sph24, quad24, box24, med24, bg8, atlas, sb, qb,
      bb) = _tile_packs(scene, camera, cfg)
     if atlas is None:
         atlas = jnp.zeros((8, 128), jnp.float32)
@@ -712,13 +712,16 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
         bb = jnp.zeros((1, 8), jnp.float32)
     if qb is None:
         qb = jnp.zeros((1, 8), jnp.float32)
+    n_media = scene.n_media_active
+    if n_media == 0:
+        med24 = jnp.zeros((1, 24), jnp.float32)
     chain = mkt.tile_train_chain(
         n_samples, chains, scene.has_moving, scene.has_quads,
         scene.has_boxes, scene.has_rot_boxes, scene.has_perlin,
         scene.has_images, scene.images.shape[1], scene.images.shape[2],
-        cfg.max_depth, cfg.t_min)
-    out = chain(meta, seed2, cam24, sph24, quad24, box24, bg8, atlas,
-                sb, qb, bb)
+        cfg.max_depth, cfg.t_min, n_media=n_media)
+    out = chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
+                atlas, sb, qb, bb)
     gid = meta[2].astype(jnp.int32)
     validf = meta[3]
     rad = jnp.zeros((n_pix, 3), jnp.float32).at[gid].add(
@@ -731,13 +734,14 @@ def render_image_diff(scene: SceneArrays, camera: Camera,
                       cfg: RenderConfig, seed):
     """Differentiable full-image render, fastest available path.
 
-    On TPU, kernel-supported scenes ride the fused tile train path
-    (trace_tiles_diff: one forward launch + one backward launch);
-    everything else (media scenes, CPU) uses the rematerialized-scan
-    batch driver. Returns (image (H,W,3) mean radiance, n_traced)."""
-    from .ops import megakernel_vjp as mkv
+    On TPU, kernel-supported scenes — including constant-media scenes —
+    ride the fused tile train path (trace_tiles_diff: one forward
+    launch + one backward launch); everything else (CPU, image textures
+    on media, >4 media) uses the rematerialized-scan batch driver.
+    Returns (image (H,W,3) mean radiance, n_traced)."""
+    from .ops import megakernel_train as mkt
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and cfg.use_megakernel and mkv.supports_backward(scene):
+    if on_tpu and cfg.use_megakernel and mkt.supports_train(scene):
         rad, n = trace_tiles_diff(scene, camera, cfg, seed)
         image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(
             cfg.spp)

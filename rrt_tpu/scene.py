@@ -144,6 +144,11 @@ class SceneArrays:
     # run in-kernel via the one-hot atlas lookup with per-family uv).
     has_images_on_media: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # True (unpadded) constant-medium count. Medium arrays pad to 8
+    # slots, but draws are per-slot counter-addressed, so kernels can
+    # loop only the active slots without shifting any RNG stream.
+    n_media_active: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
     @property
     def n_spheres(self) -> int:
@@ -529,6 +534,7 @@ class SceneBuilder:
             if len(self._spheres) else False,
             has_images_on_media=self._has_images_on_media(
                 tex_type, med_mat[med_valid]),
+            n_media_active=len(self._media),
         )
 
     def _has_images_on_media(self, tex_type, med_mats):

@@ -39,7 +39,7 @@ def _interpret_pallas(monkeypatch):
 
 
 def _compare(scene, cam, w, h, spp=2, max_depth=3, rtol=2e-3,
-             sample_lo=0, cam_rtol=1e-2):
+             sample_lo=0, cam_rtol=1e-2, expect_nonzero=()):
     cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=max_depth)
     n_pix = w * h
 
@@ -94,6 +94,9 @@ def _compare(scene, cam, w, h, spp=2, max_depth=3, rtol=2e-3,
 
     gtp, gtc = jax.grad(loss_tile, argnums=(0, 1))(params, cam)
     grp, grc = jax.grad(loss_ref, argnums=(0, 1))(params, cam)
+    for k in expect_nonzero:
+        assert np.abs(np.asarray(grp[k])).max() > 0.0, \
+            f"reference grad for {k} is zero — test has no power"
     for k in sorted(grp):
         a, b = np.asarray(gtp[k]), np.asarray(grp[k])
         assert np.isfinite(a).all(), f"nonfinite tile grad for {k}"
@@ -143,6 +146,45 @@ def test_tile_grads_cornell_box_family():
     scene, cam = cornell_box_scene(24, 24)
     assert scene.has_boxes and scene.has_rot_boxes
     _compare(scene, cam, 24, 24)
+
+
+def test_tile_grads_constant_media():
+    """cornell_smoke through the tile train path: the medium boundary
+    entry t, neg_inv_density and isotropic albedo gradients must match
+    the XLA scan path (the chain vjp excludes media; the tile kernel is
+    the only fused path that covers them). spp=1 keeps interpret-mode
+    runtime sane."""
+    import rrt_tpu.ops.megakernel_train as mkt
+    from rrt_tpu.scenes import cornell_smoke_scene
+    scene, cam = cornell_smoke_scene(24, 24)
+    assert scene.has_media and mkt.supports_train(scene)
+    _compare(scene, cam, 24, 24, spp=1, cam_rtol=None)
+
+
+def test_tile_grads_medium_geometry():
+    """Medium boundary/density gradients are nonzero only when the
+    post-scatter radiance depends on the scatter *position* — here via
+    scatter -> curved lambertian/metal surface (normal depends on hit
+    point) -> sky background. cornell_smoke cannot see this (flat
+    colors, black background, so path-replay grads are legitimately
+    zero there); this scene proves the in-kernel medium adjoint against
+    the scan path on genuinely nonzero values."""
+    from rrt_tpu.camera import Camera
+    from rrt_tpu.scene import SceneBuilder
+    b = SceneBuilder()
+    b.sky()
+    b.sphere((0.0, -100.5, -1.0), 100.0, b.lambertian((0.5, 0.5, 0.5)))
+    b.sphere((0.6, 0.1, -1.2), 0.4, b.metal((0.8, 0.7, 0.6), fuzz=0.05))
+    b.medium_sphere((-0.2, 0.2, -1.0), 0.5, density=1.5,
+                    albedo=(0.9, 0.6, 0.4))
+    scene = b.build()
+    import rrt_tpu.ops.megakernel_train as mkt
+    assert scene.has_media and mkt.supports_train(scene)
+    cam = Camera.create((0.0, 0.6, 1.5), (0.0, 0.0, -1.0),
+                        fov_deg=45.0, aspect=1.0)
+    _compare(scene, cam, 16, 16, spp=2, max_depth=4, cam_rtol=None,
+             expect_nonzero=("med_center", "med_radius",
+                             "med_neg_inv_density"))
 
 
 def test_tile_grads_progressive_chunk():
