@@ -42,6 +42,7 @@ Quad pack, f32 (24, Qd):
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -58,7 +59,11 @@ from ..textures import _lattice_grad
 
 INF = 3.0e38
 
-TN = 512  # rays per tile (1024 OOMs VMEM for quad-heavy scenes)
+# Rays per tile. Measured on v5e (chap12/cornell/rttnw_final @32spp
+# d50): 1024 beats 512 by +13%/+6%/+1% with no VMEM OOM on any book
+# scene (the old "1024 OOMs" note predates the tile-resident kernels).
+# RRT_TN is a tuning override, not API.
+TN = int(os.environ.get("RRT_TN", "1024"))
 TS = 256  # primitives per tile
 
 
@@ -1201,6 +1206,11 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
     whole-tile culling on large scenes. Returns state' (row 15 carries
     the cumulative per-lane traced-ray counts)."""
     q = state.shape[1]
+    if q % TN != 0:
+        raise ValueError(
+            f"bounce_steps: state lanes ({q}) must be a multiple of "
+            f"TN ({TN}) — a ragged tail would be silently dropped "
+            f"(grid = q // TN)")
     s_count = spheres24.shape[1]
     q_count = quads24.shape[1]
     n_tiles = q // TN
@@ -1481,6 +1491,10 @@ def intersect_only(rays8, keys, spheres24, quads24, med24, *,
     bounce; returns (t (Q,), fam (Q,) i32, idx (Q,) i32) with the
     intersect_all contract."""
     q = rays8.shape[1]
+    if q % TN != 0:
+        raise ValueError(
+            f"intersect_only: ray lanes ({q}) must be a multiple of "
+            f"TN ({TN}) — a ragged tail would be silently dropped")
     s_count = spheres24.shape[1]
     q_count = quads24.shape[1]
 

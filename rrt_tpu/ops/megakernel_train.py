@@ -70,10 +70,21 @@ INF = mk.INF
 # 18 pxr, 19 pyr, 20 gidf, 21-22 key words (u32 bitcast), 23 pad.
 CROWS = 24
 
+# The train kernels' VMEM working set (K-row replay scratch + resident
+# segment-boundary block + pack/cotangent accumulators, all TN lanes
+# wide) exceeds Mosaic's default 16 MB scoped limit at TN=1024; raise
+# it (v5e has 128 MB physical VMEM; the tile kernels are the only
+# resident compute anyway).
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _seg_k(max_steps: int) -> int:
     """Segment length: balance the K-row VMEM scratch against the
-    ceil(max_steps/K)-row boundary buffer (sqrt-checkpointing)."""
+    ceil(max_steps/K)-row boundary buffer (sqrt-checkpointing). The
+    (K*CROWS, TN) replay scratch plus the resident boundary block push
+    the backward past Mosaic's default 16 MB scoped-VMEM limit at
+    TN=1024, so both train kernels raise it via CompilerParams
+    (_VMEM_LIMIT; v5e has 128 MB physical VMEM)."""
     k = int(np.ceil(np.sqrt(max(max_steps, 1))))
     k = -(-k // 8) * 8
     return max(8, min(48, k, max_steps))
@@ -658,6 +669,8 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
             bytes_accessed=4 * (9 * npad + n_bounds * CROWS * n_lanes
                                 + 24 * (s_count + q_count + b_count)),
             transcendentals=spp * 3 * npad * 40),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(meta, seed2, cam24, sph24, quad24, box24, med24, atlas, bg8, sb,
       qb, bb)
     return out, bounds
@@ -736,6 +749,8 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
                                 + 2 * n_bounds * CROWS * npad // chains
                                 + 24 * (s_count + q_count + b_count)),
             transcendentals=3 * spp * 3 * npad * 40),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24, med24,
       atlas, bg8, sb, qb, bb, bounds)
     return outs

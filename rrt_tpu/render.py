@@ -668,10 +668,12 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
 
 def tile_chains_diff(cfg: RenderConfig, n_samples: int) -> int:
     """Pixels per lane for the differentiable tile driver. Capped so the
-    backward's segment-boundary buffer (ceil(chains*spp*52/K) x 24 rows
-    per lane, K<=48) stays a few MB of VMEM: chains*spp <= 64. Larger
-    per-step sample budgets should accumulate gradients over
-    sample_lo chunks instead."""
+    backward's VMEM working set (K x 24-row replay scratch + the
+    resident segment-boundary block, both TN lanes wide) stays well
+    inside the raised scoped limit (megakernel_train._VMEM_LIMIT):
+    chains*spp <= 64 keeps it ~12 MB at TN=1024. Larger per-step sample
+    budgets should accumulate gradients over sample_lo chunks
+    instead."""
     n_pix = cfg.width * cfg.height
     return max(1, min(16, 64 // max(1, n_samples),
                       n_pix // (4 * ops_mega.TN)))

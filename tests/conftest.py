@@ -9,6 +9,12 @@ round-trip and the suite is ~100x slower)."""
 
 import os
 
+# Interpret-mode megakernel tests scale with TN (lanes per tile); the
+# production default (1024, tuned for v5e VMEM/throughput) just doubles
+# CPU test runtime. The kernels are TN-generic, so the suite pins the
+# smaller layout.
+os.environ.setdefault("RRT_TN", "512")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -167,14 +167,14 @@ def test_megakernel_rttnw_final_supported():
     from rrt_tpu.scenes import rttnw_final_scene
     scene, cam = rttnw_final_scene(32, 18)
     assert mk.supports(scene)  # images only on spheres
-    _one_step(scene, cam, 32, 18, n=512)
+    _one_step(scene, cam, 32, 18, n=mk.TN)
 
 
 def test_megakernel_multi_step():
     """K=3 fused steps must equal three iterated XLA bounce steps
     (dead-lane write-through, bounce counters, per-lane traced counts)."""
     scene, cam = cornell_box_scene(32, 32)
-    n = 512
+    n = mk.TN
     ids = jnp.arange(n, dtype=jnp.int32)
     px, py = ids % 32, (ids // 32) % 32
     keys = rng.sample_keys(jax.random.key(1),
@@ -225,7 +225,7 @@ def test_whole_tile_cull_exact():
     without them (a cull may only skip tiles no lane can hit)."""
     from rrt_tpu.scenes import rttnw_final_scene
     scene, cam = rttnw_final_scene(32, 18)
-    n = 512
+    n = mk.TN
     ids = jnp.arange(n, dtype=jnp.int32)
     px, py = ids % 32, (ids // 32) % 18
     keys = rng.sample_keys(jax.random.key(2),
