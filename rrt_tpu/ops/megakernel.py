@@ -64,7 +64,7 @@ INF = 3.0e38
 # scene (the old "1024 OOMs" note predates the tile-resident kernels).
 # RRT_TN is a tuning override, not API.
 TN = int(os.environ.get("RRT_TN", "1024"))
-TS = 256  # primitives per tile
+TS = int(os.environ.get("RRT_TS", "256"))  # primitives per tile
 
 
 def _round_up(x, m):
