@@ -66,6 +66,13 @@ INF = 3.0e38
 TN = int(os.environ.get("RRT_TN", "1024"))
 TS = int(os.environ.get("RRT_TS", "256"))  # primitives per tile
 
+# Mosaic's default scoped-VMEM limit is 16 MB; the tile-resident kernel's
+# per-tile temporaries exceed it for large scenes at TS=512 (e.g. the
+# RTTNW final scene needs 19.1 MB). v5e has 128 MB physical VMEM and the
+# tile kernels are the only resident compute, so raise it the same way
+# the train kernels do (megakernel_train._VMEM_LIMIT).
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -1846,6 +1853,8 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
             bytes_accessed=4 * (9 * npad
                                 + 24 * (s_count + q_count + b_count)),
             transcendentals=spp * 3 * npad * 40),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(meta, seed2, cam24, spheres24, quads24, boxes24, med24, atlas, bg8,
       sph_bounds, quad_bounds, box_bounds)
     return out
