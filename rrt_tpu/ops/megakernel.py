@@ -66,6 +66,12 @@ INF = 3.0e38
 TN = int(os.environ.get("RRT_TN", "1024"))
 TS = int(os.environ.get("RRT_TS", "256"))  # primitives per tile
 
+# Winner-select matmul precision: HIGHEST (exact for one-hot) unless the
+# RRT_SELP=default timing-ablation knob is set (see _select_winner).
+_SEL_PRECISION = (jax.lax.Precision.DEFAULT
+                  if os.environ.get("RRT_SELP", "") == "default"
+                  else jax.lax.Precision.HIGHEST)
+
 # Mosaic's default scoped-VMEM limit is 16 MB; the tile-resident kernel's
 # per-tile temporaries exceed it for large scenes at TS=512 (e.g. the
 # RTTNW final scene needs 19.1 MB). v5e has 128 MB physical VMEM and the
@@ -428,11 +434,12 @@ def _select_winner(blk, t_cand, base_idx, t_best, attrs_best, idx_best):
     onehot = (rows == win).astype(jnp.float32)  # (TS,TN)
     # HIGHEST: the MXU's default bf16 pass would quantize the selected
     # centers (7-bit mantissa -> 0.4% normal error); the 3-pass f32
-    # emulation is exact for a one-hot contraction.
+    # emulation is exact for a one-hot contraction. RRT_SELP=default is
+    # a timing-ablation knob (quantized winners, NOT for rendering).
     sel = jax.lax.dot_general(
         blk, onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # (24,TN)
+        precision=_SEL_PRECISION)  # (24,TN)
     better = tile_min < t_best
     t_best = jnp.where(better, tile_min, t_best)
     # Float-mask blend: broadcasting an i1 mask across sublanes trips a
@@ -1767,6 +1774,10 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
 
     end = jax.lax.while_loop(cond, body, carry0)
     out_ref[3:4, pl.ds(0, TN)] = end[15]  # per-lane traced counts
+    # Row 4: the while-loop trip count this grid instance executed
+    # (diagnostics: per-step wall time = wall / sum over tiles).
+    out_ref[4:5, pl.ds(0, TN)] = jnp.full(
+        (1, TN), end[23].astype(jnp.float32))
 
 
 @functools.partial(
