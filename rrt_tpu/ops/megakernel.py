@@ -84,6 +84,29 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+# Per-family adaptive tile width: a family with <=128 slots packs ONE
+# narrow 128-wide tile (128 is the f32 lane-dim floor) instead of
+# padding to TS — cornell's 6 quads / 2 boxes were each paying a full
+# 256-slot candidate evaluation per bounce. Families above 128 slots
+# keep TS-wide tiles (the TS sweep shows narrower tiles lose on big
+# families: chap12 69.4 Mrays/s at TS=128 vs 74.0 at 256).
+
+
+def _fam_target(count: int) -> int:
+    """Packed slot count for a family of `count` primitives."""
+    return 128 if count <= 128 else _round_up(count, TS)
+
+
+def _fam_width(packed: int) -> int:
+    """Tile width a pack was built with (one narrow tile, or TS)."""
+    return packed if packed < TS else TS
+
+
+def _fam_tiles(packed: int) -> int:
+    """Number of tiles in a pack."""
+    return packed // _fam_width(packed)
+
+
 def supports(scene: SceneArrays) -> bool:
     """Media, perlin-marble and sphere/quad image textures run
     in-kernel (per-family uv feeds the one-hot atlas lookup); only image
@@ -129,7 +152,7 @@ def pack_spheres_full(scene: SceneArrays):
         mtype[None], aux[None], c1.T, c2.T, textype[None],
         texscale[None], scene.sphere_radius[None], img_idx[None], pad],
         axis=0)
-    target = _round_up(s, TS)
+    target = _fam_target(s)
     if target != s:
         mat = jnp.pad(mat, ((0, 0), (0, target - s)))
     return mat
@@ -160,7 +183,7 @@ def pack_quads_full(scene: SceneArrays):
         scene.quad_valid.astype(jnp.float32)[None], mtype[None],
         aux[None], c1.T, c2.T, textype[None], texscale[None]], axis=0)
     nq = q.shape[0]
-    target = _round_up(nq, TS)
+    target = _fam_target(nq)
     if target != nq:
         mat = jnp.pad(mat, ((0, 0), (0, target - nq)))
     return mat
@@ -182,7 +205,7 @@ def pack_boxes_full(scene: SceneArrays):
         scene.box_valid.astype(jnp.float32)[None],
         mtype[None], aux[None], c1.T, c2.T, textype[None],
         texscale[None], pad], axis=0)
-    target = _round_up(b, TS)
+    target = _fam_target(b)
     if target != b:
         mat = jnp.pad(mat, ((0, 0), (0, target - b)))
     return mat
@@ -230,13 +253,14 @@ def _tile_bounding_aabbs(lo, hi, valid):
     final scene: quad-tile skip rate 0.34 with spheres vs 0.82 with
     AABBs on primary rays)."""
     s = lo.shape[0]
-    n_tiles = s // TS
+    w = _fam_width(s)
+    n_tiles = s // w
     big = jnp.float32(1e30)
-    lo = jnp.where(valid[:, None], lo, big).reshape(n_tiles, TS, 3)
-    hi = jnp.where(valid[:, None], hi, -big).reshape(n_tiles, TS, 3)
+    lo = jnp.where(valid[:, None], lo, big).reshape(n_tiles, w, 3)
+    hi = jnp.where(valid[:, None], hi, -big).reshape(n_tiles, w, 3)
     tlo = jnp.min(lo, axis=1)
     thi = jnp.max(hi, axis=1)
-    any_valid = jnp.any(valid.reshape(n_tiles, TS), axis=1)
+    any_valid = jnp.any(valid.reshape(n_tiles, w), axis=1)
     # Conservative pad (the slab test is exact, but keep a margin for
     # f32 rounding of (bound - origin) * inv_d).
     pad = 1e-4 * jnp.maximum(jnp.abs(tlo), jnp.abs(thi)) + 1e-5
@@ -257,7 +281,7 @@ def pack_sphere_bounds(scene: SceneArrays):
     lo = jnp.minimum(c0, c1) - r
     hi = jnp.maximum(c0, c1) + r
     s = scene.sphere_radius.shape[0]
-    target = _round_up(s, TS)
+    target = _fam_target(s)
     if target != s:
         lo = jnp.pad(lo, ((0, target - s), (0, 0)))
         hi = jnp.pad(hi, ((0, target - s), (0, 0)))
@@ -278,7 +302,7 @@ def pack_box_bounds(scene: SceneArrays):
     lo = scene.box_center - e
     hi = scene.box_center + e
     b = h.shape[0]
-    target = _round_up(b, TS)
+    target = _fam_target(b)
     if target != b:
         lo = jnp.pad(lo, ((0, target - b), (0, 0)))
         hi = jnp.pad(hi, ((0, target - b), (0, 0)))
@@ -294,7 +318,7 @@ def pack_quad_bounds(scene: SceneArrays):
     lo = jnp.min(corners, axis=0)
     hi = jnp.max(corners, axis=0)
     nq = q.shape[0]
-    target = _round_up(nq, TS)
+    target = _fam_target(nq)
     if target != nq:
         lo = jnp.pad(lo, ((0, target - nq), (0, 0)))
         hi = jnp.pad(hi, ((0, target - nq), (0, 0)))
@@ -557,6 +581,9 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
     the step differentiably without re-intersecting (megakernel_vjp)."""
     (ox, oy, oz, dx, dy, dz, time, thx, thy, thz, pex, pey, pez,
      bounce, alive, traced) = rows
+    s_w = _fam_width(sph_ref.shape[1])
+    q_w = _fam_width(quad_ref.shape[1]) if has_quads else TS
+    b_w = _fam_width(box_ref.shape[1]) if has_boxes else TS
     if True:
         a = dx * dx + dy * dy + dz * dz
         o_dot_d = ox * dx + oy * dy + oz * dz
@@ -604,8 +631,8 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         if has_quads:
             def quad_tile_full(qi, carry):
                 t_q, q_sel, i_q = carry
-                off = pl.multiple_of(qi * TS, TS)
-                blk = quad_ref[:, pl.ds(off, TS)]
+                off = pl.multiple_of(qi * q_w, q_w)
+                blk = quad_ref[:, pl.ds(off, q_w)]
                 nx = blk[0:1].T
                 ny = blk[1:2].T
                 nz = blk[2:3].T
@@ -635,7 +662,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       & (beta >= 0.0) & (beta <= 1.0))
                 t_cand = jnp.where(ok, t, INF)
                 return _select_winner(blk, t_cand,
-                                      qi.astype(jnp.float32) * TS,
+                                      qi.astype(jnp.float32) * q_w,
                                       t_q, q_sel, i_q)
 
             if cull_q:
@@ -665,8 +692,8 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         if has_boxes:
             def box_tile_full(bi, carry):
                 t_b, b_sel, i_b = carry
-                off = pl.multiple_of(bi * TS, TS)
-                blk = box_ref[:, pl.ds(off, TS)]
+                off = pl.multiple_of(bi * b_w, b_w)
+                blk = box_ref[:, pl.ds(off, b_w)]
                 bcx = blk[0:1].T
                 bcy = blk[1:2].T
                 bcz = blk[2:3].T
@@ -714,7 +741,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 ok = (valid & (lo < hi) & (t > t_min) & (t < t_b))
                 t_cand = jnp.where(ok, t, INF)
                 return _select_winner(blk, t_cand,
-                                      bi.astype(jnp.float32) * TS,
+                                      bi.astype(jnp.float32) * b_w,
                                       t_b, b_sel, i_b)
 
             if cull_b:
@@ -741,8 +768,8 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         # iteration's temporaries on the scoped VMEM stack.
         def sphere_tile_full(si, carry):
             t_s, s_sel, i_s = carry
-            off = pl.multiple_of(si * TS, TS)
-            blk = sph_ref[:, pl.ds(off, TS)]  # (24, TS)
+            off = pl.multiple_of(si * s_w, s_w)
+            blk = sph_ref[:, pl.ds(off, s_w)]  # (24, s_w)
             bx = blk[0:1].T
             by = blk[1:2].T
             bz = blk[2:3].T
@@ -768,7 +795,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             in1 = ok & (root1 > t_min) & (root1 < t_s)
             t_cand = jnp.where(in0, root0, jnp.where(in1, root1, INF))
             return _select_winner(blk, t_cand,
-                                  si.astype(jnp.float32) * TS,
+                                  si.astype(jnp.float32) * s_w,
                                   t_s, s_sel, i_s)
 
         if cull_s:
@@ -1234,11 +1261,11 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
     if boxes24 is None:
         boxes24 = jnp.zeros((24, TS), jnp.float32)
     b_count = boxes24.shape[1]
-    cull_s = sph_bounds is not None and s_count // TS >= CULL_MIN_TILES
+    cull_s = sph_bounds is not None and _fam_tiles(s_count) >= CULL_MIN_TILES
     cull_q = (quad_bounds is not None and has_quads
-              and q_count // TS >= CULL_MIN_TILES)
+              and _fam_tiles(q_count) >= CULL_MIN_TILES)
     cull_b = (box_bounds is not None and has_boxes
-              and b_count // TS >= CULL_MIN_TILES)
+              and _fam_tiles(b_count) >= CULL_MIN_TILES)
     if sph_bounds is None:
         sph_bounds = jnp.zeros((1, 8), jnp.float32)
     if quad_bounds is None:
@@ -1246,8 +1273,9 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
     if box_bounds is None:
         box_bounds = jnp.zeros((1, 8), jnp.float32)
     kern = functools.partial(
-        _bounce_megakernel, k_steps=k_steps, s_tiles=s_count // TS,
-        q_tiles=q_count // TS, b_tiles=b_count // TS, moving=moving,
+        _bounce_megakernel, k_steps=k_steps, s_tiles=_fam_tiles(s_count),
+        q_tiles=_fam_tiles(q_count),
+        b_tiles=_fam_tiles(b_count), moving=moving,
         has_quads=has_quads, has_boxes=has_boxes,
         has_rot_boxes=has_rot_boxes,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
@@ -1321,10 +1349,13 @@ def _intersect_kernel(rays_ref, keys_ref, sph_ref, quad_ref, med_ref,
     # fori_loop (not python unroll): Mosaic keeps every unrolled
     # iteration's temporaries on the scoped VMEM stack, which overflows
     # for scenes with many primitive tiles.
+    s_w = _fam_width(sph_ref.shape[1])
+    q_w = _fam_width(quad_ref.shape[1]) if has_quads else TS
+
     def sphere_tile(si, carry):
         t_s, i_s = carry
-        off = pl.multiple_of(si * TS, TS)
-        blk = sph_ref[:, pl.ds(off, TS)]
+        off = pl.multiple_of(si * s_w, s_w)
+        blk = sph_ref[:, pl.ds(off, s_w)]
         bx = blk[0:1].T
         by = blk[1:2].T
         bz = blk[2:3].T
@@ -1353,7 +1384,8 @@ def _intersect_kernel(rays_ref, keys_ref, sph_ref, quad_ref, med_ref,
         win = jnp.argmin(t_cand, axis=0).astype(jnp.float32)[None, :]
         better = tile_min < t_s
         t_s = jnp.where(better, tile_min, t_s)
-        i_s = jnp.where(better, win + si.astype(jnp.float32) * TS, i_s)
+        i_s = jnp.where(better, win + si.astype(jnp.float32) * s_w,
+                        i_s)
         return t_s, i_s
 
     t_s, i_s = jax.lax.fori_loop(
@@ -1364,8 +1396,8 @@ def _intersect_kernel(rays_ref, keys_ref, sph_ref, quad_ref, med_ref,
     if has_quads:
         def quad_tile(qi, carry):
             t_q, i_q = carry
-            off = pl.multiple_of(qi * TS, TS)
-            blk = quad_ref[:, pl.ds(off, TS)]
+            off = pl.multiple_of(qi * q_w, q_w)
+            blk = quad_ref[:, pl.ds(off, q_w)]
             nx = blk[0:1].T
             ny = blk[1:2].T
             nz = blk[2:3].T
@@ -1398,7 +1430,7 @@ def _intersect_kernel(rays_ref, keys_ref, sph_ref, quad_ref, med_ref,
             win = jnp.argmin(t_cand, axis=0).astype(jnp.float32)[None, :]
             better = tile_min < t_q
             t_q = jnp.where(better, tile_min, t_q)
-            i_q = jnp.where(better, win + qi.astype(jnp.float32) * TS,
+            i_q = jnp.where(better, win + qi.astype(jnp.float32) * q_w,
                             i_q)
             return t_q, i_q
 
@@ -1513,8 +1545,8 @@ def intersect_only(rays8, keys, spheres24, quads24, med24, *,
     q_count = quads24.shape[1]
 
     kern = functools.partial(
-        _intersect_kernel, s_tiles=s_count // TS,
-        q_tiles=q_count // TS, moving=moving, has_quads=has_quads,
+        _intersect_kernel, s_tiles=_fam_tiles(s_count),
+        q_tiles=_fam_tiles(q_count), moving=moving, has_quads=has_quads,
         n_media=n_media, t_min=t_min)
 
     out = pl.pallas_call(
@@ -1812,11 +1844,11 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
     if boxes24 is None:
         boxes24 = jnp.zeros((24, TS), jnp.float32)
     b_count = boxes24.shape[1]
-    cull_s = sph_bounds is not None and s_count // TS >= CULL_MIN_TILES
+    cull_s = sph_bounds is not None and _fam_tiles(s_count) >= CULL_MIN_TILES
     cull_q = (quad_bounds is not None and has_quads
-              and q_count // TS >= CULL_MIN_TILES)
+              and _fam_tiles(q_count) >= CULL_MIN_TILES)
     cull_b = (box_bounds is not None and has_boxes
-              and b_count // TS >= CULL_MIN_TILES)
+              and _fam_tiles(b_count) >= CULL_MIN_TILES)
     if sph_bounds is None:
         sph_bounds = jnp.zeros((1, 8), jnp.float32)
     if quad_bounds is None:
@@ -1826,8 +1858,8 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
     max_steps = chains * spp * (max_depth + 2) + 1
     kern = functools.partial(
         _tile_render_kernel, spp=spp, chains=chains, max_steps=max_steps,
-        s_tiles=s_count // TS, q_tiles=q_count // TS,
-        b_tiles=b_count // TS, moving=moving,
+        s_tiles=_fam_tiles(s_count), q_tiles=_fam_tiles(q_count),
+        b_tiles=_fam_tiles(b_count), moving=moving,
         has_quads=has_quads, has_boxes=has_boxes,
         has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
         has_images=has_images, img_ah=img_ah, img_aw=img_aw,
@@ -1889,6 +1921,7 @@ def order_tiles_near_first(pack, bounds, cam_origin):
     d2 = jnp.where(bounds[:, 6] < 0.5, jnp.float32(1e30), d2)
     perm = jnp.argsort(jax.lax.stop_gradient(d2))
     s = pack.shape[1]
-    pack = pack.reshape(pack.shape[0], n_tiles, TS)[:, perm, :] \
+    w = pack.shape[1] // n_tiles  # family tile width (_fam_width)
+    pack = pack.reshape(pack.shape[0], n_tiles, w)[:, perm, :] \
         .reshape(pack.shape[0], s)
     return pack, bounds[perm]

@@ -537,13 +537,15 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
             win_s = aux["win_s"].astype(jnp.int32)
 
             def scat(dref, d_sel, win, n_tiles):
+                w = mk._fam_width(dref.shape[1])
+
                 def sc(si, _):
-                    off = pl.multiple_of(si * TS, TS)
+                    off = pl.multiple_of(si * w, w)
                     rows_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (TS, TN), 0)
-                    oh = (rows_iota == (win - si * TS)).astype(
+                        jnp.int32, (w, TN), 0)
+                    oh = (rows_iota == (win - si * w)).astype(
                         jnp.float32)
-                    dref[:, pl.ds(off, TS)] += jax.lax.dot_general(
+                    dref[:, pl.ds(off, w)] += jax.lax.dot_general(
                         d_sel, oh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
@@ -621,14 +623,17 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
     max_steps = chains * spp * (int(flags["max_depth"]) + 2) + 1
     seg_k = _seg_k(max_steps)
     n_bounds = -(-max_steps // seg_k)
-    cull_s = s_count // TS >= mk.CULL_MIN_TILES
-    cull_q = flags["has_quads"] and q_count // TS >= mk.CULL_MIN_TILES
-    cull_b = flags["has_boxes"] and b_count // TS >= mk.CULL_MIN_TILES
+    s_tiles = mk._fam_tiles(s_count)
+    q_tiles = mk._fam_tiles(q_count)
+    b_tiles = mk._fam_tiles(b_count)
+    cull_s = s_tiles >= mk.CULL_MIN_TILES
+    cull_q = flags["has_quads"] and q_tiles >= mk.CULL_MIN_TILES
+    cull_b = flags["has_boxes"] and b_tiles >= mk.CULL_MIN_TILES
 
     kern = functools.partial(
         _train_fwd_kernel, spp=spp, chains=chains, max_steps=max_steps,
-        seg_k=seg_k, s_tiles=s_count // TS, q_tiles=q_count // TS,
-        b_tiles=b_count // TS, cull_s=cull_s, cull_q=cull_q,
+        seg_k=seg_k, s_tiles=s_tiles, q_tiles=q_tiles,
+        b_tiles=b_tiles, cull_s=cull_s, cull_q=cull_q,
         cull_b=cull_b, **flags)
     n_lanes = npad // chains
     out, bounds = pl.pallas_call(
@@ -687,14 +692,17 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
     max_steps = chains * spp * (int(flags["max_depth"]) + 2) + 1
     seg_k = _seg_k(max_steps)
     n_bounds = -(-max_steps // seg_k)
-    cull_s = s_count // TS >= mk.CULL_MIN_TILES
-    cull_q = flags["has_quads"] and q_count // TS >= mk.CULL_MIN_TILES
-    cull_b = flags["has_boxes"] and b_count // TS >= mk.CULL_MIN_TILES
+    s_tiles = mk._fam_tiles(s_count)
+    q_tiles = mk._fam_tiles(q_count)
+    b_tiles = mk._fam_tiles(b_count)
+    cull_s = s_tiles >= mk.CULL_MIN_TILES
+    cull_q = flags["has_quads"] and q_tiles >= mk.CULL_MIN_TILES
+    cull_b = flags["has_boxes"] and b_tiles >= mk.CULL_MIN_TILES
 
     kern = functools.partial(
         _train_bwd_kernel, spp=spp, chains=chains, seg_k=seg_k,
-        n_bounds=n_bounds, s_tiles=s_count // TS,
-        q_tiles=q_count // TS, b_tiles=b_count // TS, cull_s=cull_s,
+        n_bounds=n_bounds, s_tiles=s_tiles,
+        q_tiles=q_tiles, b_tiles=b_tiles, cull_s=cull_s,
         cull_q=cull_q, cull_b=cull_b, **flags)
 
     md = max(1, flags["n_media"])

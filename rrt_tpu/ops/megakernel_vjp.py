@@ -641,11 +641,13 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
         # the forward's one-hot selection, one MXU contraction per tile.
         win_s = aux["win_s"].astype(jnp.int32)
 
+        s_w = mk._fam_width(dsph_ref.shape[1])
+
         def scat_s(si, _):
-            off = pl.multiple_of(si * TS, TS)
-            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, TN), 0)
-            oh = (rows_iota == (win_s - si * TS)).astype(jnp.float32)
-            dsph_ref[:, pl.ds(off, TS)] += jax.lax.dot_general(
+            off = pl.multiple_of(si * s_w, s_w)
+            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (s_w, TN), 0)
+            oh = (rows_iota == (win_s - si * s_w)).astype(jnp.float32)
+            dsph_ref[:, pl.ds(off, s_w)] += jax.lax.dot_general(
                 d_sel_s, oh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
@@ -656,12 +658,14 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
         if has_quads:
             win_q = aux["win_q"].astype(jnp.int32)
 
+            q_w = mk._fam_width(dquad_ref.shape[1])
+
             def scat_q(qi, _):
-                off = pl.multiple_of(qi * TS, TS)
+                off = pl.multiple_of(qi * q_w, q_w)
                 rows_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                                     (TS, TN), 0)
-                oh = (rows_iota == (win_q - qi * TS)).astype(jnp.float32)
-                dquad_ref[:, pl.ds(off, TS)] += jax.lax.dot_general(
+                                                     (q_w, TN), 0)
+                oh = (rows_iota == (win_q - qi * q_w)).astype(jnp.float32)
+                dquad_ref[:, pl.ds(off, q_w)] += jax.lax.dot_general(
                     d_sel_q, oh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
@@ -672,12 +676,14 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
         if has_boxes:
             win_b = aux["win_b"].astype(jnp.int32)
 
+            b_w = mk._fam_width(dbox_ref.shape[1])
+
             def scat_b(bi, _):
-                off = pl.multiple_of(bi * TS, TS)
+                off = pl.multiple_of(bi * b_w, b_w)
                 rows_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                                     (TS, TN), 0)
-                oh = (rows_iota == (win_b - bi * TS)).astype(jnp.float32)
-                dbox_ref[:, pl.ds(off, TS)] += jax.lax.dot_general(
+                                                     (b_w, TN), 0)
+                oh = (rows_iota == (win_b - bi * b_w)).astype(jnp.float32)
+                dbox_ref[:, pl.ds(off, b_w)] += jax.lax.dot_general(
                     d_sel_b, oh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
@@ -706,13 +712,14 @@ def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
     s_count = sph24.shape[1]
     q_count = quad24.shape[1]
     b_count = box24.shape[1]
-    cull_s = s_count // TS >= mk.CULL_MIN_TILES
-    cull_q = has_quads and q_count // TS >= mk.CULL_MIN_TILES
-    cull_b = has_boxes and b_count // TS >= mk.CULL_MIN_TILES
+    cull_s = mk._fam_tiles(s_count) >= mk.CULL_MIN_TILES
+    cull_q = has_quads and mk._fam_tiles(q_count) >= mk.CULL_MIN_TILES
+    cull_b = has_boxes and mk._fam_tiles(b_count) >= mk.CULL_MIN_TILES
 
     kern = functools.partial(
-        _bwd_kernel, k_steps=k_steps, s_tiles=s_count // TS,
-        q_tiles=q_count // TS, b_tiles=b_count // TS, moving=moving,
+        _bwd_kernel, k_steps=k_steps, s_tiles=mk._fam_tiles(s_count),
+        q_tiles=mk._fam_tiles(q_count),
+        b_tiles=mk._fam_tiles(b_count), moving=moving,
         has_quads=has_quads, has_boxes=has_boxes,
         has_rot_boxes=has_rot_boxes,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
