@@ -475,13 +475,35 @@ def _select_winner(blk, t_cand, base_idx, t_best, attrs_best, idx_best):
     return t_best, attrs_best, idx_best
 
 
+# A family with at most this many VALID slots intersects as a python-
+# unrolled scalar loop ((1,TN) candidate math + per-slot winner blends)
+# instead of a padded 128-wide tile: ~100 vector ops per slot against
+# ~3800 for the narrowest tile. Unrolled (not fori) so slot attributes
+# are static register slices; kept small because Mosaic keeps every
+# unrolled iteration's temporaries on the scoped-VMEM stack.
+SMALL_FAMILY_MAX = 8
+
+
+def _scalar_winner(col, t_cand, idx, t_best, attrs_best, idx_best):
+    """Single-slot variant of _select_winner: col (24,1) holds the
+    slot's packed attributes; the float-mask blend broadcasts them
+    across the lanes this slot wins."""
+    better = t_cand < t_best
+    bf = better.astype(jnp.float32)
+    t_best = jnp.where(better, t_cand, t_best)
+    attrs_best = bf * col + (1.0 - bf) * attrs_best
+    idx_best = jnp.where(better, jnp.float32(idx), idx_best)
+    return t_best, attrs_best, idx_best
+
+
 def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
                        med_ref, atlas_ref, bg_ref, sb_ref, qb_ref, bb_ref,
                        state_out_ref,
                        *, k_steps, s_tiles, q_tiles, b_tiles, moving,
                        has_quads, has_boxes, has_rot_boxes,
                        has_perlin, has_images, img_ah, img_aw, n_media,
-                       t_min, max_depth, cull_s, cull_q, cull_b):
+                       t_min, max_depth, cull_s, cull_q, cull_b,
+                       fam_n=None):
     st = state_ref[:, :]  # (16, TN)
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
@@ -508,7 +530,7 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
                           box_ref=box_ref, b_tiles=b_tiles,
                           has_boxes=has_boxes,
                           has_rot_boxes=has_rot_boxes, bb_ref=bb_ref,
-                          cull_b=cull_b)
+                          cull_b=cull_b, fam_n=fam_n)
 
 
 def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
@@ -517,7 +539,8 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       img_aw, n_media, t_min, max_depth, sb_ref=None,
                       qb_ref=None, cull_s=False, cull_q=False,
                       box_ref=None, b_tiles=0, has_boxes=False,
-                      has_rot_boxes=False, bb_ref=None, cull_b=False):
+                      has_rot_boxes=False, bb_ref=None, cull_b=False,
+                      fam_n=None):
     # fori_loop over steps (kernel size independent of K) with a
     # whole-tile alive check per step: once every lane in the tile has
     # died, the remaining steps cost one scalar branch each — so a
@@ -536,7 +559,8 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             n_media=n_media, t_min=t_min, max_depth=max_depth,
             sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
             box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
-            has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
+            has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
+            fam_n=fam_n)
         return rows2[:14] + (rows2[14].astype(jnp.float32),) + rows2[15:]
 
     def step(_k, rows_f):
@@ -572,7 +596,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 max_depth, want_aux=False, sb_ref=None, qb_ref=None,
                 cull_s=False, cull_q=False, box_ref=None, b_tiles=0,
                 has_boxes=False, has_rot_boxes=False, bb_ref=None,
-                cull_b=False):
+                cull_b=False, fam_n=None):
     """One fused bounce step on (1,TN) state rows.
 
     Shared by the forward megakernel (want_aux=False) and the backward
@@ -584,6 +608,10 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
     s_w = _fam_width(sph_ref.shape[1])
     q_w = _fam_width(quad_ref.shape[1]) if has_quads else TS
     b_w = _fam_width(box_ref.shape[1]) if has_boxes else TS
+    # Static valid slot counts (None = unknown -> tile path). An
+    # explicit 0 skips the family outright (e.g. cornell has no
+    # spheres; without the count it pays a dead 128-wide tile/step).
+    s_n, q_n, b_n = fam_n if fam_n is not None else (None, None, None)
     if True:
         a = dx * dx + dy * dy + dz * dz
         o_dot_d = ox * dx + oy * dy + oz * dz
@@ -628,7 +656,33 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         # --- quad family (first: its winner t seeds the sphere loop
         # below, so sphere tiles behind a closer quad hit are t-culled
         # for free) ------------------------------------------------------
-        if has_quads:
+        if (has_quads and q_n is not None
+                and q_n <= SMALL_FAMILY_MAX):
+            # Scalar small-family path (measured: cornell's 6 quads +
+            # 2 boxes as scalar loops beat even 128-wide tiles ~2x).
+            t_q = jnp.full((1, TN), INF, jnp.float32)
+            q_sel = jnp.zeros((24, TN), jnp.float32)
+            i_q = jnp.zeros((1, TN), jnp.float32)
+            for qi in range(q_n):
+                col = quad_ref[:, qi:qi + 1]  # (24, 1)
+                denom = dx * col[0:1] + dy * col[1:2] + dz * col[2:3]
+                o_n = ox * col[0:1] + oy * col[1:2] + oz * col[2:3]
+                not_par = jnp.abs(denom) > col[12:13] * d_len
+                t = (col[9:10] - o_n) / jnp.where(not_par, denom, 1.0)
+                o_g = ox * col[3:4] + oy * col[4:5] + oz * col[5:6]
+                d_g = dx * col[3:4] + dy * col[4:5] + dz * col[5:6]
+                o_h = ox * col[6:7] + oy * col[7:8] + oz * col[8:9]
+                d_h = dx * col[6:7] + dy * col[7:8] + dz * col[8:9]
+                alpha = o_g + t * d_g - col[10:11]
+                beta = o_h + t * d_h - col[11:12]
+                ok = ((col[13:14] > 0.5) & not_par & (t > t_min)
+                      & (t < t_q)
+                      & (alpha >= 0.0) & (alpha <= 1.0)
+                      & (beta >= 0.0) & (beta <= 1.0))
+                t_cand = jnp.where(ok, t, INF)
+                t_q, q_sel, i_q = _scalar_winner(col, t_cand, qi, t_q,
+                                                 q_sel, i_q)
+        elif has_quads:
             def quad_tile_full(qi, carry):
                 t_q, q_sel, i_q = carry
                 off = pl.multiple_of(qi * q_w, q_w)
@@ -689,7 +743,50 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         # instead of the books' 6 quads — the ground of the RTTNW final
         # scene drops from 2400 quad slots to 400 box slots). Seeded by
         # the quad winner; seeds the sphere loop below. -------------------
-        if has_boxes:
+        if (has_boxes and b_n is not None
+                and b_n <= SMALL_FAMILY_MAX):
+            t_b = t_q  # seeded: boxes must beat the quad winner
+            b_sel = jnp.zeros((24, TN), jnp.float32)
+            i_b = jnp.zeros((1, TN), jnp.float32)
+            for bi in range(b_n):
+                col = box_ref[:, bi:bi + 1]  # (24, 1)
+                wx = ox - col[0:1]
+                wy = oy - col[1:2]
+                wz = oz - col[2:3]
+                if has_rot_boxes:
+                    obx = col[6:7] * wx - col[7:8] * wz
+                    obz = col[7:8] * wx + col[6:7] * wz
+                    dbx = col[6:7] * dx - col[7:8] * dz
+                    dbz = col[7:8] * dx + col[6:7] * dz
+                else:
+                    obx, obz = wx, wz
+                    dbx, dbz = dx, dz
+                oby = wy
+                dby = dy
+                lo = jnp.full(wx.shape, -INF, jnp.float32)
+                hi = jnp.full(wx.shape, INF, jnp.float32)
+                for ob, db, hk in ((obx, dbx, col[3:4]),
+                                   (oby, dby, col[4:5]),
+                                   (obz, dbz, col[5:6])):
+                    par = jnp.abs(db) <= 1e-12
+                    inv_db = 1.0 / jnp.where(par, 1.0, db)
+                    t1 = (-hk - ob) * inv_db
+                    t2 = (hk - ob) * inv_db
+                    klo = jnp.minimum(t1, t2)
+                    khi = jnp.maximum(t1, t2)
+                    inside = jnp.abs(ob) <= hk
+                    big = jnp.where(inside, INF, -INF)
+                    klo = jnp.where(par, -big, klo)
+                    khi = jnp.where(par, big, khi)
+                    lo = jnp.maximum(lo, klo)
+                    hi = jnp.minimum(hi, khi)
+                t = jnp.where(lo > t_min, lo, hi)
+                ok = ((col[8:9] > 0.5) & (lo < hi) & (t > t_min)
+                      & (t < t_b))
+                t_cand = jnp.where(ok, t, INF)
+                t_b, b_sel, i_b = _scalar_winner(col, t_cand, bi, t_b,
+                                                 b_sel, i_b)
+        elif has_boxes:
             def box_tile_full(bi, carry):
                 t_b, b_sel, i_b = carry
                 off = pl.multiple_of(bi * b_w, b_w)
@@ -764,6 +861,44 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             t_b = t_q
 
         # --- sphere family ----------------------------------------------
+        if s_n == 0:
+            # No spheres in the scene: the family winner is the seed.
+            t_s = t_b
+            s_sel = jnp.zeros((24, TN), jnp.float32)
+            i_s = jnp.zeros((1, TN), jnp.float32)
+            sphere_done_scalar = True
+        elif s_n is not None and s_n <= SMALL_FAMILY_MAX:
+            t_s = t_b  # seeded: spheres must beat the quad/box winner
+            s_sel = jnp.zeros((24, TN), jnp.float32)
+            i_s = jnp.zeros((1, TN), jnp.float32)
+            for si in range(s_n):
+                col = sph_ref[:, si:si + 1]  # (24, 1)
+                if moving:
+                    cxt = col[0:1] + time * col[4:5]
+                    cyt = col[1:2] + time * col[5:6]
+                    czt = col[2:3] + time * col[6:7]
+                else:
+                    cxt, cyt, czt = col[0:1], col[1:2], col[2:3]
+                d_c = dx * cxt + dy * cyt + dz * czt
+                o_c = ox * cxt + oy * cyt + oz * czt
+                c_sq = cxt * cxt + cyt * cyt + czt * czt
+                half_b = o_dot_d - d_c
+                c_coef = o_dot_o - 2.0 * o_c + c_sq - col[3:4]
+                disc = half_b * half_b - a * c_coef
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                root0 = (-half_b - sq) * inv_a
+                root1 = (-half_b + sq) * inv_a
+                ok = (disc > 0.0) & (col[7:8] > 0.5)
+                in0 = ok & (root0 > t_min) & (root0 < t_s)
+                in1 = ok & (root1 > t_min) & (root1 < t_s)
+                t_cand = jnp.where(in0, root0,
+                                   jnp.where(in1, root1, INF))
+                t_s, s_sel, i_s = _scalar_winner(col, t_cand, si, t_s,
+                                                 s_sel, i_s)
+            sphere_done_scalar = True
+        else:
+            sphere_done_scalar = False
+
         # fori_loop (not python unroll): Mosaic keeps every unrolled
         # iteration's temporaries on the scoped VMEM stack.
         def sphere_tile_full(si, carry):
@@ -811,11 +946,12 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         else:
             sphere_tile = sphere_tile_full
 
-        t_s, s_sel, i_s = jax.lax.fori_loop(
-            0, s_tiles, sphere_tile,
-            (t_b,  # seeded: spheres must beat the quad/box winner
-             jnp.zeros((24, TN), jnp.float32),
-             jnp.zeros((1, TN), jnp.float32)))
+        if not sphere_done_scalar:
+            t_s, s_sel, i_s = jax.lax.fori_loop(
+                0, s_tiles, sphere_tile,
+                (t_b,  # seeded: spheres must beat the quad/box winner
+                 jnp.zeros((24, TN), jnp.float32),
+                 jnp.zeros((1, TN), jnp.float32)))
 
         # Each family loop is seeded by the previous winner (quad -> box
         # -> sphere), so t_s is already the global solid minimum. A later
@@ -1227,7 +1363,7 @@ CULL_MIN_TILES = 3
     static_argnames=("k_steps", "moving", "has_quads", "has_boxes",
                      "has_rot_boxes", "has_perlin",
                      "has_images", "img_ah", "img_aw", "n_media",
-                     "max_depth", "t_min"))
+                     "max_depth", "t_min", "fam_n"))
 def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
                  atlas=None, sph_bounds=None, quad_bounds=None,
                  boxes24=None, box_bounds=None, *,
@@ -1236,7 +1372,7 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
                  has_rot_boxes: bool = False, has_perlin: bool = False,
                  has_images: bool = False, img_ah: int = 1,
                  img_aw: int = 1, n_media: int = 0, max_depth: int = 50,
-                 t_min: float = 1e-3):
+                 t_min: float = 1e-3, fam_n=None):
     """Run k_steps fused bounce steps.
 
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
@@ -1281,7 +1417,7 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
         img_aw=img_aw, n_media=n_media, t_min=t_min,
         max_depth=float(max_depth), cull_s=cull_s, cull_q=cull_q,
-        cull_b=cull_b)
+        cull_b=cull_b, fam_n=fam_n)
 
     state_out = pl.pallas_call(
         kern,
@@ -1696,7 +1832,7 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
                         q_tiles, b_tiles, moving, has_quads, has_boxes,
                         has_rot_boxes, has_perlin,
                         has_images, img_ah, img_aw, n_media, t_min,
-                        max_depth, cull_s, cull_q, cull_b):
+                        max_depth, cull_s, cull_q, cull_b, fam_n=None):
     # Lane L owns `chains` pixels (one per TN-column block of the meta
     # tile) and traces each pixel's spp samples back-to-back before
     # advancing to the next. More chains per lane averages the straggler
@@ -1711,7 +1847,8 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
               n_media=n_media, t_min=t_min, max_depth=max_depth,
               sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
-              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
+              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
+              fam_n=fam_n)
 
     out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
 
@@ -1817,7 +1954,7 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
     static_argnames=("spp", "chains", "moving", "has_quads", "has_boxes",
                      "has_rot_boxes", "has_perlin",
                      "has_images", "img_ah", "img_aw", "n_media",
-                     "max_depth", "t_min"))
+                     "max_depth", "t_min", "fam_n"))
 def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
                  atlas=None, sph_bounds=None, quad_bounds=None,
                  boxes24=None, box_bounds=None, *,
@@ -1826,7 +1963,7 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
                  has_rot_boxes: bool = False,
                  has_perlin: bool = False, has_images: bool = False,
                  img_ah: int = 1, img_aw: int = 1, n_media: int = 0,
-                 max_depth: int = 50, t_min: float = 1e-3):
+                 max_depth: int = 50, t_min: float = 1e-3, fam_n=None):
     """Render every pixel's spp samples in one launch.
 
     meta (8, NP) from pack_pixel_meta (NP a multiple of chains*TN);
@@ -1864,7 +2001,7 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
         has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
         has_images=has_images, img_ah=img_ah, img_aw=img_aw,
         n_media=n_media, t_min=t_min, max_depth=float(max_depth),
-        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b)
+        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b, fam_n=fam_n)
 
     out = pl.pallas_call(
         kern,

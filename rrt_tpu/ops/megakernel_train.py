@@ -226,7 +226,7 @@ def _train_fwd_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
                       seg_k, s_tiles, q_tiles, b_tiles, moving,
                       has_quads, has_boxes, has_rot_boxes, has_perlin,
                       has_images, img_ah, img_aw, n_media, t_min,
-                      max_depth, cull_s, cull_q, cull_b):
+                      max_depth, cull_s, cull_q, cull_b, fam_n=None):
     s0 = seed_ref[0]
     s1 = seed_ref[1]
     lo = seed_ref[2]
@@ -236,7 +236,8 @@ def _train_fwd_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
               n_media=n_media, t_min=t_min, max_depth=max_depth,
               sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
-              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
+              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
+              fam_n=fam_n)
     adv_kw = dict(meta_ref=meta_ref, cam_ref=cam_ref, s0=s0, s1=s1,
                   lo=lo, spp=spp, chains=chains)
 
@@ -313,7 +314,7 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                       n_bounds, s_tiles, q_tiles, b_tiles, moving,
                       has_quads, has_boxes, has_rot_boxes, has_perlin,
                       has_images, img_ah, img_aw, n_media, t_min,
-                      max_depth, cull_s, cull_q, cull_b):
+                      max_depth, cull_s, cull_q, cull_b, fam_n=None):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dsph_ref[:, :] = jnp.zeros(dsph_ref.shape, jnp.float32)
@@ -334,7 +335,8 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
               n_media=n_media, t_min=t_min, max_depth=max_depth,
               sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
-              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
+              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
+              fam_n=fam_n)
     adv_kw = dict(meta_ref=meta_ref, cam_ref=cam_ref, s0=s0, s1=s1,
                   lo=lo, spp=spp, chains=chains)
 
@@ -769,7 +771,8 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
                      has_quads: bool, has_boxes: bool,
                      has_rot_boxes: bool, has_perlin: bool,
                      has_images: bool, img_ah: int, img_aw: int,
-                     max_depth: int, t_min: float, n_media: int = 0):
+                     max_depth: int, t_min: float, n_media: int = 0,
+                     fam_n=None):
     """The tile-resident renderer as a reverse-differentiable primitive.
 
     chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8, atlas,
@@ -782,7 +785,8 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
     flags = dict(moving=moving, has_quads=has_quads, has_boxes=has_boxes,
                  has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
                  has_images=has_images, img_ah=img_ah, img_aw=img_aw,
-                 n_media=n_media, t_min=t_min, max_depth=float(max_depth))
+                 n_media=n_media, t_min=t_min, max_depth=float(max_depth),
+                 fam_n=fam_n)
 
     @jax.custom_vjp
     def chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,

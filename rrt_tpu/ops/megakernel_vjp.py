@@ -469,7 +469,7 @@ def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
                 q_tiles, b_tiles, moving, has_quads, has_boxes,
                 has_rot_boxes, has_perlin, has_images,
                 img_ah, img_aw, t_min, max_depth, cull_s, cull_q,
-                cull_b):
+                cull_b, fam_n=None):
     # Grad accumulators are revisited by every (sequential) grid step:
     # zero them once.
     @pl.when(pl.program_id(0) == 0)
@@ -505,7 +505,7 @@ def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
                        img_aw=img_aw, t_min=t_min, max_depth=max_depth,
                        sb_ref=sb_ref, qb_ref=qb_ref, bb_ref=bb_ref,
                        cull_s=cull_s,
-                       cull_q=cull_q, cull_b=cull_b)
+                       cull_q=cull_q, cull_b=cull_b, fam_n=fam_n)
 
 
 def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
@@ -518,7 +518,7 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
                    has_perlin, has_images, img_ah,
                    img_aw, t_min, max_depth, sb_ref, qb_ref, bb_ref,
                    cull_s,
-                   cull_q, cull_b):
+                   cull_q, cull_b, fam_n=None):
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
     bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
@@ -527,7 +527,8 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
               n_media=0, t_min=t_min, max_depth=max_depth, sb_ref=sb_ref,
               qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
-              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b)
+              has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
+              fam_n=fam_n)
 
     # --- replay: fori_loop over the K steps (kernel size independent of
     # K), spilling each step's input state to a VMEM scratch so the
@@ -707,7 +708,7 @@ def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
               d_out, *,
               k_steps, moving, has_quads, has_boxes, has_rot_boxes,
               has_perlin, has_images,
-              img_ah, img_aw, t_min, max_depth):
+              img_ah, img_aw, t_min, max_depth, fam_n=None):
     q = state.shape[1]
     s_count = sph24.shape[1]
     q_count = quad24.shape[1]
@@ -724,7 +725,7 @@ def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
         has_rot_boxes=has_rot_boxes,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
         img_aw=img_aw, t_min=t_min, max_depth=float(max_depth),
-        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b)
+        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b, fam_n=fam_n)
 
     grid = (q // TN,)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -786,7 +787,8 @@ def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
 def bounce_chain(k_steps: int, moving: bool, has_quads: bool,
                  has_perlin: bool, has_images: bool, img_ah: int,
                  img_aw: int, max_depth: int, t_min: float,
-                 has_boxes: bool = False, has_rot_boxes: bool = False):
+                 has_boxes: bool = False, has_rot_boxes: bool = False,
+                 fam_n=None):
     """K fused bounce steps as a reverse-differentiable primitive.
 
     Returns chain(state, keys, sph24, quad24, box24, bg8, atlas, sb,
@@ -799,7 +801,7 @@ def bounce_chain(k_steps: int, moving: bool, has_quads: bool,
                   has_boxes=has_boxes, has_rot_boxes=has_rot_boxes,
                   has_perlin=has_perlin, has_images=has_images,
                   img_ah=img_ah, img_aw=img_aw, t_min=t_min,
-                  max_depth=max_depth)
+                  max_depth=max_depth, fam_n=fam_n)
 
     @jax.custom_vjp
     def chain(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb):

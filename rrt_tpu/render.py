@@ -238,7 +238,7 @@ def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
             scene.has_images, scene.images.shape[1],
             scene.images.shape[2], max_depth, t_min,
             has_boxes=scene.has_boxes,
-            has_rot_boxes=scene.has_rot_boxes)
+            has_rot_boxes=scene.has_rot_boxes, fam_n=scene.fam_n)
         st = chain(st, keys, sph24, quad24, box24, bg8, atlas, sb, qb,
                    bb)
         if j < len(schedule) - 1:
@@ -421,7 +421,8 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
                 has_perlin=scene.has_perlin,
                 has_images=scene.has_images, img_ah=img_ah,
                 img_aw=img_aw, n_media=n_media_mk,
-                max_depth=cfg.max_depth, t_min=cfg.t_min)
+                max_depth=cfg.max_depth, t_min=cfg.t_min,
+                fam_n=scene.fam_n)
             return st, keys, pix, next_s, acc
         return jax.lax.fori_loop(0, k_steps, bounce_step, state)
 
@@ -634,7 +635,7 @@ def tile_call(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
         has_perlin=scene.has_perlin, has_images=scene.has_images,
         img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
         n_media=scene.n_media_active,
-        max_depth=cfg.max_depth, t_min=cfg.t_min)
+        max_depth=cfg.max_depth, t_min=cfg.t_min, fam_n=scene.fam_n)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_samples"))
@@ -721,7 +722,7 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
         n_samples, chains, scene.has_moving, scene.has_quads,
         scene.has_boxes, scene.has_rot_boxes, scene.has_perlin,
         scene.has_images, scene.images.shape[1], scene.images.shape[2],
-        cfg.max_depth, cfg.t_min, n_media=n_media)
+        cfg.max_depth, cfg.t_min, n_media=n_media, fam_n=scene.fam_n)
     out = chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
                 atlas, sb, qb, bb)
     gid = meta[2].astype(jnp.int32)

@@ -149,6 +149,22 @@ class SceneArrays:
     # loop only the active slots without shifting any RNG stream.
     n_media_active: int = dataclasses.field(
         default=0, metadata=dict(static=True))
+    # True (unpadded) primitive-family counts. Family arrays pad to 128
+    # lanes; valid slots always come first (build order, preserved by
+    # the Morton sort), so the megakernel's scalar small-family path can
+    # unroll exactly the active slots (megakernel.SMALL_FAMILY_MAX).
+    n_spheres_active: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
+    n_quads_active: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
+    n_boxes_active: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
+
+    @property
+    def fam_n(self) -> tuple:
+        """(spheres, quads, boxes) true counts for the megakernel."""
+        return (self.n_spheres_active, self.n_quads_active,
+                self.n_boxes_active)
 
     @property
     def n_spheres(self) -> int:
@@ -535,6 +551,9 @@ class SceneBuilder:
             has_images_on_media=self._has_images_on_media(
                 tex_type, med_mat[med_valid]),
             n_media_active=len(self._media),
+            n_spheres_active=len(self._spheres),
+            n_quads_active=len(self._quads),
+            n_boxes_active=len(self._boxes),
         )
 
     def _has_images_on_media(self, tex_type, med_mats):
