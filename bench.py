@@ -88,6 +88,26 @@ def main():
     sync_img(fwd_q())  # compile + warm
     q_med, _, _ = _timed(fwd_q, sync_img)
 
+    # --- scene coverage: the other BASELINE scenes through the tile
+    # driver (the headline stays chap12 for round-over-round
+    # comparability; these ride along as detail fields).
+    from rrt_tpu.scenes import cornell_box_scene, rttnw_final_scene
+    scene_extras = {}
+    for name, builder, (w2, h2) in (
+            ("cornell", cornell_box_scene, (400, 400)),
+            ("rttnw_final", rttnw_final_scene, (400, 267))):
+        sc, cm = builder(w2, h2)
+        cfg2 = RenderConfig(width=w2, height=h2, spp=32, max_depth=50,
+                            use_megakernel=True)
+
+        def fwd2(sc=sc, cm=cm, cfg2=cfg2):
+            return render_image_tiles(sc, cm, cfg2, 0)
+
+        _, n2 = sync_img(fwd2())  # compile + warm
+        med2, _, _ = _timed(fwd2, sync_img, n=3)
+        scene_extras[name + "_mrays_per_s"] = round(
+            float(n2) / med2 / 1e6, 2)
+
     # --- backward: fused custom_vjp train step, full depth 50 -----------
     n_tile = 262144
     ids = jnp.arange(n_tile, dtype=jnp.int32) * (width * height // n_tile)
@@ -174,6 +194,7 @@ def main():
             "train_mrays_per_s": round(n_train_rays / train_med / 1e6,
                                        2),
             "scene_build_s": round(build_s, 3),
+            **scene_extras,
             "fwd_rays": fwd_rays,
             "bwd_rays": n_bwd_rays,
             "backend": jax.default_backend(),
