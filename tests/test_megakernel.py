@@ -108,6 +108,56 @@ def test_megakernel_media():
     _one_step(scene, cam, 32, 32)
 
 
+@pytest.mark.parametrize("scene_name", ["cornell", "chap11"])
+def test_scalar_family_path_matches_tile(scene_name):
+    """The scalar small-family path (fam_n static counts) must agree
+    with the padded-tile path on multi-step state: same candidate
+    formulas evaluated per slot instead of per tile, so in interpret
+    mode the two are numerically interchangeable (near-tie winner flips
+    only). Cornell exercises scalar quads+boxes plus the zero-sphere
+    skip; chap11 exercises scalar spheres."""
+    if scene_name == "cornell":
+        scene, cam = cornell_box_scene(32, 32)
+        w = h = 32
+    else:
+        from rrt_tpu.scenes import chap11_scene
+        scene, cam = chap11_scene(32, 18)
+        w, h = 32, 18
+    assert max(scene.fam_n) <= mk.SMALL_FAMILY_MAX
+    n = mk.TN
+    ids = jnp.arange(n, dtype=jnp.int32)
+    px, py = ids % w, (ids // w) % h
+    keys = rng.sample_keys(jax.random.key(3),
+                           (py * w + px).astype(jnp.uint32), 0)
+    o, d, tm = generate_rays(cam, px, py, w, h, keys)
+    st = mk.pack_state(o, d, tm, V3.ones((n,)), V3.zeros((n,)),
+                       jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool),
+                       jnp.zeros((n,)))
+    quad24 = (mk.pack_quads_full(scene) if scene.has_quads
+              else jnp.zeros((24, mk.TS), jnp.float32))
+    box24 = mk.pack_boxes_full(scene) if scene.has_boxes else None
+    kw = dict(k_steps=3, moving=scene.has_moving,
+              has_quads=scene.has_quads, has_boxes=scene.has_boxes,
+              has_rot_boxes=scene.has_rot_boxes,
+              has_perlin=scene.has_perlin, has_images=scene.has_images,
+              img_ah=scene.images.shape[1],
+              img_aw=scene.images.shape[2], n_media=0, max_depth=50,
+              t_min=1e-3)
+    args = (st, keys, mk.pack_spheres_full(scene), quad24,
+            mk.pack_media(scene), mk.pack_bg(scene))
+    st_tile = mk.bounce_steps(*args, boxes24=box24, fam_n=None, **kw)
+    st_scal = mk.bounce_steps(*args, boxes24=box24, fam_n=scene.fam_n,
+                              **kw)
+    a, b = np.asarray(st_tile), np.asarray(st_scal)
+    # Same formulas per slot, but (TS,TN)-tile vs (1,TN)-scalar
+    # evaluation fuses differently, so continuous rows drift by ulps
+    # (measured ~1e-4 at cornell's ~300-unit coordinates) and an
+    # occasional lane flips a near-tie winner at a shared wall edge and
+    # diverges — the same class the XLA-vs-kernel tests tolerate.
+    agree = np.all(np.abs(a - b) <= 1e-3 * (1.0 + np.abs(a)), axis=0)
+    assert agree.mean() > 0.98, f"scalar vs tile disagree: {agree.mean()}"
+
+
 def test_megakernel_dead_tile_passthrough():
     scene, cam = chap12_scene(16, 9)
     n = mk.TN
