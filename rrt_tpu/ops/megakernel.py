@@ -98,8 +98,21 @@ def _fam_target(count: int) -> int:
 
 
 def _fam_width(packed: int) -> int:
-    """Tile width a pack was built with (one narrow tile, or TS)."""
-    return packed if packed < TS else TS
+    """Tile width a pack was built with, derived from its padded size
+    (so every consumer — forward, replay, adjoint scatters, bounds,
+    tile reordering — agrees without plumbing). One narrow tile below
+    TS; 2*TS-wide tiles whenever they add no padding over TS (the TS
+    sweep measured +3.4% on chap12 from halving the tile count at equal
+    slot work: fewer fori iterations and winner selects)."""
+    if packed < TS:
+        return packed
+    if packed % (2 * TS) == 0 and packed // TS < CULL_MIN_TILES:
+        # Wide tiles only where TS-tiling wouldn't cull either (chap12's
+        # 512 sphere slots: 2x256 -> 1x512, +5.9%). Families with enough
+        # tiles to whole-tile cull keep TS: merging the RTTNW cloud's 4
+        # sphere tiles into 2x512 disabled culling and lost 3%.
+        return 2 * TS
+    return TS
 
 
 def _fam_tiles(packed: int) -> int:
@@ -1449,6 +1462,8 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
             bytes_accessed=4 * (2 * 16 * q + 2 * q
                                 + 24 * (s_count + q_count + b_count)),
             transcendentals=k_steps * q * 40),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(state, keys, spheres24, quads24, boxes24, med24, atlas, bg8,
       sph_bounds, quad_bounds, box_bounds)
     return state_out
@@ -1706,6 +1721,8 @@ def intersect_only(rays8, keys, spheres24, quads24, med24, *,
             flops=40 * q * (s_count + q_count),
             bytes_accessed=4 * (18 * q + 24 * (s_count + q_count)),
             transcendentals=q * (s_count + q_count) // 8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(rays8, keys, spheres24, quads24, med24)
     return out[0], out[1].astype(jnp.int32), out[2].astype(jnp.int32)
 

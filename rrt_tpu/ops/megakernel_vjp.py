@@ -774,6 +774,8 @@ def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
                                 + 4 * 24 * (s_count + q_count
                                             + b_count)),
             transcendentals=3 * k_steps * q * 40),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=mk._VMEM_LIMIT),
     )(state, keys, sph24, quad24, box24, atlas, bg8, sb, qb, bb, d_out)
     return out
 
