@@ -1,9 +1,15 @@
 """Measure the cost of Mosaic's (1,N) <-> (8,N/8) relayout inside a
-kernel, to decide whether the megakernel's (1,TN) row math can be made
-sublane-dense by reshaping around scalar-heavy sections
-(probe_row_layout.py showed (1,1024) ops run at 1/8 VPU utilization).
+kernel, to decide whether the megakernel's (1,TN) row math could be
+made sublane-dense by reshaping around scalar-heavy sections. Result:
+no — the relayout pair costs what the dense section would save (and the
+sublane-waste premise itself was later refuted; see BASELINE.md).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/probe_reshape.py
+
+CAVEAT (see BASELINE.md): every launch pays a ~24.5 ms tunnel
+floor, so the printed GFLOP/s are floor-dominated — read results
+as DELTAS between variants (probe_rng.py subtracts a baseline
+body), and beware constant-foldable op chains.
 """
 
 import os

@@ -7,6 +7,11 @@ probe times the same elementwise chain on (1, 1024), (8, 128) and
 (8, 1024) to settle it.
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/probe_row_layout.py
+
+CAVEAT (see BASELINE.md): every launch pays a ~24.5 ms tunnel
+floor, so the printed GFLOP/s are floor-dominated — read results
+as DELTAS between variants (probe_rng.py subtracts a baseline
+body), and beware constant-foldable op chains.
 """
 
 import os
