@@ -37,7 +37,7 @@ def main(names):
         scene, cam = SCENES[name](w, h)
         cfg = RenderConfig(width=w, height=h, spp=32, max_depth=50,
                            use_megakernel=True)
-        chains = tile_chains(cfg)
+        chains = tile_chains(cfg, scene)
         meta = mk.pack_pixel_meta(w, h, chains * mk.TN)
 
         run = jax.jit(lambda: tile_call(scene, cam, cfg, 0, meta, chains,

@@ -1367,8 +1367,9 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
 
 
 # Whole-tile culling pays off once there are enough primitive tiles for
-# skips to dominate the per-tile bound test.
-CULL_MIN_TILES = 3
+# skips to dominate the per-tile bound test. RRT_CULL_MIN_TILES is a
+# tuning/ablation override (huge value = culling off).
+CULL_MIN_TILES = int(os.environ.get("RRT_CULL_MIN_TILES", "3"))
 
 
 @functools.partial(

@@ -173,7 +173,7 @@ def render_image_tiles_sharded(scene: SceneArrays, camera: Camera,
         jnp.asarray(seed).dtype, jnp.integer) else seed
 
     from ..ops import megakernel as ops_mega
-    chains = tile_chains(cfg)
+    chains = tile_chains(cfg, scene)
     block = chains * ops_mega.TN
     meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height, block)
     # Pad the meta column count to a multiple of dp*block with invalid

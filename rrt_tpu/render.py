@@ -26,6 +26,7 @@ construction.
 """
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -581,10 +582,27 @@ def render_image_queue(scene: SceneArrays, camera: Camera,
     return image, n_traced
 
 
-def tile_chains(cfg: RenderConfig) -> int:
-    """Pixels per lane for the tile-resident driver (see trace_tiles)."""
+def tile_chains(cfg: RenderConfig, scene: SceneArrays = None) -> int:
+    """Pixels per lane for the tile-resident driver (see trace_tiles).
+
+    More chains averages the straggler tail (relative spread of the
+    per-lane total path length ~ 1/sqrt(chains*spp)) but adds
+    chains-proportional per-step flush/meta work. Measured: 32 beats 16
+    where the bounce step is tile-heavy (chap12 81.1 -> 84.2 Mrays/s,
+    rttnw_final 15.9 -> 17.7) and loses where steps are cheap (cornell
+    178.5 -> 172.7, all-scalar families), so scenes whose families are
+    all scalar/narrow keep 16. RRT_CHAINS is a tuning override."""
+    env = os.environ.get("RRT_CHAINS")
+    if env:
+        return int(env)
     n_pix = cfg.width * cfg.height
-    return max(1, min(n_pix // (4 * ops_mega.TN), 16))
+    cap = 16
+    if scene is not None:
+        teq = sum(-(-n // ops_mega.TS) for n in scene.fam_n
+                  if n > ops_mega.SMALL_FAMILY_MAX)
+        if teq >= 2:
+            cap = 32
+    return max(1, min(n_pix // (2 * ops_mega.TN), cap))
 
 
 def _tile_packs(scene: SceneArrays, camera: Camera, cfg: RenderConfig):
@@ -653,7 +671,7 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
     # chains 1/2/4/8/16 -> 3.6/4.4/5.3/5.9/6.5 Mrays/s; coherence loss
     # from chain mixing is irrelevant (whole-tile culls stop firing
     # after the first bounces regardless), so no scene-size cap.
-    chains = tile_chains(cfg)
+    chains = tile_chains(cfg, scene)
     meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height,
                                     chains * ops_mega.TN)
     out = tile_call(scene, camera, cfg, seed_key, meta, chains,
