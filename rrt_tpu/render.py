@@ -582,22 +582,26 @@ def render_image_queue(scene: SceneArrays, camera: Camera,
     return image, n_traced
 
 
-def tile_chains(cfg: RenderConfig, scene: SceneArrays = None) -> int:
+def tile_chains(cfg: RenderConfig, scene: SceneArrays = None,
+                n_samples: int = None) -> int:
     """Pixels per lane for the tile-resident driver (see trace_tiles).
 
     More chains averages the straggler tail (relative spread of the
     per-lane total path length ~ 1/sqrt(chains*spp)) but adds
     chains-proportional per-step flush/meta work. Measured: 32 beats 16
-    where the bounce step is tile-heavy (chap12 81.1 -> 84.2 Mrays/s,
-    rttnw_final 15.9 -> 17.7) and loses where steps are cheap (cornell
-    178.5 -> 172.7, all-scalar families), so scenes whose families are
-    all scalar/narrow keep 16. RRT_CHAINS is a tuning override."""
+    where the bounce step is tile-heavy AND the per-launch sample count
+    is small (chap12@32spp 81.1 -> 84.2 Mrays/s, rttnw_final 15.9 ->
+    17.7); it loses where steps are cheap (cornell 178.5 -> 172.7,
+    all-scalar families) and at large per-launch spp where the tail is
+    already averaged (chap12 100spp chunks: 3.50 -> 3.67 s/chunk).
+    RRT_CHAINS is a tuning override."""
     env = os.environ.get("RRT_CHAINS")
     if env:
         return int(env)
     n_pix = cfg.width * cfg.height
+    spp = cfg.spp if n_samples is None else n_samples
     cap = 16
-    if scene is not None:
+    if scene is not None and spp <= 48:
         teq = sum(-(-n // ops_mega.TS) for n in scene.fam_n
                   if n > ops_mega.SMALL_FAMILY_MAX)
         if teq >= 2:
@@ -671,7 +675,7 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
     # chains 1/2/4/8/16 -> 3.6/4.4/5.3/5.9/6.5 Mrays/s; coherence loss
     # from chain mixing is irrelevant (whole-tile culls stop firing
     # after the first bounces regardless), so no scene-size cap.
-    chains = tile_chains(cfg, scene)
+    chains = tile_chains(cfg, scene, n_samples)
     meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height,
                                     chains * ops_mega.TN)
     out = tile_call(scene, camera, cfg, seed_key, meta, chains,
