@@ -604,8 +604,10 @@ def tile_chains(cfg: RenderConfig, scene: SceneArrays = None,
     if scene is not None and spp <= 48:
         teq = sum(-(-n // ops_mega.TS) for n in scene.fam_n
                   if n > ops_mega.SMALL_FAMILY_MAX)
-        if teq >= 2:
-            cap = 32
+        if teq >= 4:
+            cap = 64  # very tile-heavy steps tolerate more flush work
+        elif teq >= 2:
+            cap = 32  # (64 measured flat on chap12: 84.2 -> 83.9)
     return max(1, min(n_pix // (2 * ops_mega.TN), cap))
 
 
