@@ -27,6 +27,8 @@ CONFIGS = {
     "chap12": (1200, 800),
     "cornell": (400, 400),
     "rttnw_final": (400, 267),
+    "book2chap2": (1200, 800),
+    "cornell_smoke": (400, 400),
 }
 
 
