@@ -33,7 +33,8 @@ CONFIGS = {
 
 
 def main(names):
-    print(f"TN={mk.TN} TS={mk.TS} SELP={os.environ.get('RRT_SELP', 'highest')}")
+    print(f"TN={mk.TN} TS={mk.TS} "
+          f"SELP={os.environ.get('RRT_SELP') or 'exact-split'}")
     for name in names:
         w, h = CONFIGS[name]
         scene, cam = SCENES[name](w, h)

@@ -66,11 +66,11 @@ INF = 3.0e38
 TN = int(os.environ.get("RRT_TN", "1024"))
 TS = int(os.environ.get("RRT_TS", "256"))  # primitives per tile
 
-# Winner-select matmul precision: HIGHEST (exact for one-hot) unless the
-# RRT_SELP=default timing-ablation knob is set (see _select_winner).
-_SEL_PRECISION = (jax.lax.Precision.DEFAULT
-                  if os.environ.get("RRT_SELP", "") == "default"
-                  else jax.lax.Precision.HIGHEST)
+# Winner-select matmul mode (see _select_winner / _exact_onehot_dot):
+#   "" (default)  exact 3-pass bf16 mantissa-split contraction
+#   "highest"     XLA Precision.HIGHEST f32 emulation (6 passes)
+#   "default"     single lossy bf16 pass — timing ablation ONLY
+_SEL_MODE = os.environ.get("RRT_SELP", "")
 
 # Mosaic's default scoped-VMEM limit is 16 MB; the tile-resident kernel's
 # per-tile temporaries exceed it for large scenes at TS=512 (e.g. the
@@ -460,6 +460,42 @@ def _turb_rows(px_, py_, pz_, depth: int = 7):
     return acc
 
 
+def _exact_onehot_dot(a, onehot, dims):
+    """f32-exact MXU contraction against a one-hot operand in 3 bf16
+    passes (Precision.HIGHEST spends 6 splitting BOTH operands).
+
+    A 0/1 matrix is exact in bf16, so only `a` needs its mantissa
+    split: hi/mid/lo capture f32 mantissa bits 1-8 / 9-16 / 17-24. The
+    decomposition is exact (each residual cancels to <=8 significant
+    bits, Sterbenz), every product against 0.0/1.0 is exact, and the
+    partials recombine in non-overlapping f32 adds — for a one-hot
+    contraction (each output sums exactly one nonzero product) the
+    result is bit-identical to the HIGHEST emulation at half the MXU
+    work."""
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    ohb = onehot.astype(jnp.bfloat16)
+    out = None
+    for part in (hi, mid, lo):
+        d = jax.lax.dot_general(part, ohb, dims,
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
+
+
+def _onehot_dot(a, onehot, dims):
+    """Dispatch on the RRT_SELP ablation knob (module docstring)."""
+    if _SEL_MODE == "":
+        return _exact_onehot_dot(a, onehot, dims)
+    prec = (jax.lax.Precision.DEFAULT if _SEL_MODE == "default"
+            else jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(a, onehot, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
 def _select_winner(blk, t_cand, base_idx, t_best, attrs_best, idx_best):
     """Update running (t_best (1,TN), attrs (24,TN), idx (1,TN) f32) with
     this tile's candidates. One-hot MXU contraction selects the tile
@@ -469,14 +505,11 @@ def _select_winner(blk, t_cand, base_idx, t_best, attrs_best, idx_best):
     win = jnp.argmin(t_cand, axis=0)[None, :]  # (1,TN)
     rows = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 0)
     onehot = (rows == win).astype(jnp.float32)  # (TS,TN)
-    # HIGHEST: the MXU's default bf16 pass would quantize the selected
-    # centers (7-bit mantissa -> 0.4% normal error); the 3-pass f32
-    # emulation is exact for a one-hot contraction. RRT_SELP=default is
-    # a timing-ablation knob (quantized winners, NOT for rendering).
-    sel = jax.lax.dot_general(
-        blk, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_SEL_PRECISION)  # (24,TN)
+    # Exact split contraction: a plain bf16 pass would quantize the
+    # selected centers (8-bit mantissa -> 0.4% error); the mantissa
+    # split keeps the select exact at 3 MXU passes (RRT_SELP=default is
+    # a timing-ablation knob — quantized winners, NOT for rendering).
+    sel = _onehot_dot(blk, onehot, (((1,), (0,)), ((), ())))  # (24,TN)
     better = tile_min < t_best
     t_best = jnp.where(better, tile_min, t_best)
     # Float-mask blend: broadcasting an i1 mask across sublanes trips a
@@ -1220,10 +1253,8 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             iah = atlas_ref.shape[0]
             row_iota = jax.lax.broadcasted_iota(jnp.int32, (iah, TN), 0)
             oh_y = (row_iota == row).astype(jnp.float32)
-            r_cols = jax.lax.dot_general(
-                atlas_ref[:, :], oh_y, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (3*AW, TN)
+            r_cols = _onehot_dot(atlas_ref[:, :], oh_y,
+                                 (((0,), (0,)), ((), ())))  # (3*AW, TN)
             x_iota = jax.lax.broadcasted_iota(jnp.int32, (img_aw, TN), 0)
             oh_x = (x_iota == xi).astype(jnp.float32)
             img_r = jnp.sum(r_cols[0:img_aw] * oh_x, axis=0,

@@ -547,10 +547,8 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                         jnp.int32, (w, TN), 0)
                     oh = (rows_iota == (win - si * w)).astype(
                         jnp.float32)
-                    dref[:, pl.ds(off, w)] += jax.lax.dot_general(
-                        d_sel, oh, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                    dref[:, pl.ds(off, w)] += mk._onehot_dot(
+                        d_sel, oh, (((1,), (1,)), ((), ())))
                     return 0
                 jax.lax.fori_loop(0, n_tiles, sc, 0)
 

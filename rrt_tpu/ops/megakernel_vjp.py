@@ -356,10 +356,11 @@ def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
             iah = atlas.shape[0]
             row_iota = jax.lax.broadcasted_iota(jnp.int32, (iah, TN), 0)
             oh_y = (row_iota == c["img_row"]).astype(jnp.float32)
-            r_cols = jax.lax.dot_general(
-                atlas, oh_y, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            # Same exact 3-pass split as the forward kernel; its vjp
+            # yields d_atlas contributions bf16-rounded per pass (images
+            # are not in diff.DIFFERENTIABLE_FIELDS, so this is not a
+            # user-visible gradient).
+            r_cols = mk._onehot_dot(atlas, oh_y, (((0,), (0,)), ((), ())))
             x_iota = jax.lax.broadcasted_iota(jnp.int32, (img_aw, TN), 0)
             oh_x = (x_iota == c["xi"]).astype(jnp.float32)
             img_r = jnp.sum(r_cols[0:img_aw] * oh_x, axis=0,
@@ -648,10 +649,8 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
             off = pl.multiple_of(si * s_w, s_w)
             rows_iota = jax.lax.broadcasted_iota(jnp.int32, (s_w, TN), 0)
             oh = (rows_iota == (win_s - si * s_w)).astype(jnp.float32)
-            dsph_ref[:, pl.ds(off, s_w)] += jax.lax.dot_general(
-                d_sel_s, oh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            dsph_ref[:, pl.ds(off, s_w)] += mk._onehot_dot(
+                d_sel_s, oh, (((1,), (1,)), ((), ())))
             return 0
 
         jax.lax.fori_loop(0, s_tiles, scat_s, 0)
@@ -666,10 +665,8 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
                 rows_iota = jax.lax.broadcasted_iota(jnp.int32,
                                                      (q_w, TN), 0)
                 oh = (rows_iota == (win_q - qi * q_w)).astype(jnp.float32)
-                dquad_ref[:, pl.ds(off, q_w)] += jax.lax.dot_general(
-                    d_sel_q, oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                dquad_ref[:, pl.ds(off, q_w)] += mk._onehot_dot(
+                    d_sel_q, oh, (((1,), (1,)), ((), ())))
                 return 0
 
             jax.lax.fori_loop(0, q_tiles, scat_q, 0)
@@ -684,10 +681,8 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
                 rows_iota = jax.lax.broadcasted_iota(jnp.int32,
                                                      (b_w, TN), 0)
                 oh = (rows_iota == (win_b - bi * b_w)).astype(jnp.float32)
-                dbox_ref[:, pl.ds(off, b_w)] += jax.lax.dot_general(
-                    d_sel_b, oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                dbox_ref[:, pl.ds(off, b_w)] += mk._onehot_dot(
+                    d_sel_b, oh, (((1,), (1,)), ((), ())))
                 return 0
 
             jax.lax.fori_loop(0, b_tiles, scat_b, 0)
