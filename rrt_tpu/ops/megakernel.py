@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import rng
+from ..utils import fp
 from ..scene import (MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
                      MAT_LAMBERTIAN, MAT_METAL, TEX_CHECKER, TEX_IMAGE,
                      TEX_PERLIN, SceneArrays)
@@ -70,6 +71,12 @@ TS = int(os.environ.get("RRT_TS", "256"))  # primitives per tile
 #   "" (default)  exact 3-pass bf16 mantissa-split contraction
 #   "highest"     XLA Precision.HIGHEST f32 emulation (6 passes)
 #   "default"     single lossy bf16 pass — timing ablation ONLY
+# Scope note (ADVICE r2): since the exact-split change, EVERY one-hot
+# contraction routes through _onehot_dot — winner selects, atlas texel
+# lookups, AND the adjoint gradient scatters. RRT_SELP=default therefore
+# quantizes texture lookups and gradient scatters too, a broader blast
+# radius than the pre-split knob (which pinned those sites to HIGHEST);
+# treat old RRT_SELP A/B numbers as winner-select-only.
 _SEL_MODE = os.environ.get("RRT_SELP", "")
 
 # Mosaic's default scoped-VMEM limit is 16 MB; the tile-resident kernel's
@@ -471,7 +478,22 @@ def _exact_onehot_dot(a, onehot, dims):
     partials recombine in non-overlapping f32 adds — for a one-hot
     contraction (each output sums exactly one nonzero product) the
     result is bit-identical to the HIGHEST emulation at half the MXU
-    work."""
+    work.
+
+    Caveats (ADVICE r2):
+      * Bit-identity with HIGHEST holds only when each output sums ONE
+        nonzero product (select/lookup). At the adjoint-scatter call
+        sites (megakernel_train/_vjp) the contraction runs over the TN
+        lane axis and a one-hot ROW may contain many ones (several rays
+        hitting the same primitive); those outputs are f32 sums whose
+        accumulation-order error is comparable to, not identical to,
+        the HIGHEST path — numerically fine for gradients.
+      * Operands must be <= bf16 max (~3.39e38): an f32 `a` above that
+        overflows the hi part to inf and NaN-poisons the contraction
+        (inf*0 = NaN). The INF=3.0e38 sentinel is bf16-finite and only
+        enters t_cand, never the split operand; HIGHEST's own emulation
+        shares the hazard.
+    """
     hi = a.astype(jnp.bfloat16)
     r1 = a - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
@@ -696,6 +718,15 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                     tn, jnp.where(par_z, -INF, jnp.minimum(t1, t2)))
                 tf = jnp.minimum(
                     tf, jnp.where(par_z, INF, jnp.maximum(t1, t2)))
+                # Conservative far pad (fp.AABB_T_FAR_PAD = 1+2*gamma(3),
+                # the PBRT bound the reference applies per-axis at
+                # src/acceleration.rs:78): min over axes is monotone
+                # under a positive constant factor, so padding once
+                # after the reduce is the same test at one multiply.
+                # Grazing rays whose true tf rounds below tn are never
+                # whole-tile-culled (tests/test_megakernel.py grazing
+                # test).
+                tf = tf * jnp.float32(fp.AABB_T_FAR_PAD)
                 return ((tn <= tf) & (tf > t_min) & (tn < t_best)
                         & (b_ref[ti, 6] > 0.5))
 

@@ -30,8 +30,11 @@ per lane, written by the forward) + one K x 24-row VMEM scratch. Total
 backward compute is replay (1x) + re-derive (1x) + adjoint, i.e. ~2-3x
 the forward kernel, with zero glue between.
 
-Gradient scope: exactly megakernel_vjp.supports_backward (everything the
-forward megakernel shades except constant media). Discrete decisions
+Gradient scope (`supports_train`): everything the forward megakernel
+shades, INCLUDING constant media up to 4 slots — each medium adds 11
+traced parameter rows to the in-kernel adjoint (this is broader than
+megakernel_vjp.supports_backward, which excludes media). Discrete
+decisions
 (argmin winners, roots, branches, texel ids, sample/chain advancement)
 are replayed constants, per path-replay backprop (SURVEY.md §5.7).
 

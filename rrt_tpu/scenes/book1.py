@@ -50,35 +50,49 @@ def _random_sphere_field(b: SceneBuilder, rng: Xoshiro128Plus,
     """The 22x22 random grid shared by chap12 and book2chap2, with the
     reference's exact draw order. When `moving_diffuse`, diffuse spheres get
     a y-motion offset drawn from a *cloned* stream so the layout matches the
-    stationary scene (reference: src/book2chap2.rs:12-13,36-44)."""
+    stationary scene (reference: src/book2chap2.rs:12-13,36-44).
+
+    All arithmetic rounds through f32, because the reference computes in
+    f32 throughout (`a as f32 + 0.9 * rng.gen::<f32>()` etc.,
+    src/chap12.rs:22-27) — the stored layouts are then bit-identical, not
+    merely double-rounded-close (tests/test_scenes.py pins values)."""
+    import numpy as np
+    f32 = np.float32
     rng2 = rng.clone() if moving_diffuse else None
     b.sphere((0.0, -1000.0, 0.0), 1000.0, b.lambertian((0.5, 0.5, 0.5)))
     for a in range(-11, 11):
         for z in range(-11, 11):
-            cx = a + 0.9 * rng.gen_f32()
-            cz = z + 0.9 * rng.gen_f32()
-            center = (cx, 0.2, cz)
-            if math.dist(center, (4.0, 0.2, 0.0)) <= 0.9:
+            cx = f32(f32(a) + f32(f32(0.9) * f32(rng.gen_f32())))
+            cz = f32(f32(z) + f32(f32(0.9) * f32(rng.gen_f32())))
+            center = (cx, f32(0.2), cz)
+            # Rejection distance in f32 like ultraviolet's Vec4f::mag
+            # (src/chap12.rs:28: (center - (4,0.2,0)).mag() <= 0.9 skips).
+            dx = f32(cx - f32(4.0))
+            if f32(np.sqrt(f32(f32(dx * dx) + f32(cz * cz)))) <= f32(0.9):
                 continue
-            choose = rng.gen_f32()
-            if choose < 0.8:
+            # Branch compares in f32 (the reference compares f32 draws
+            # against f32 literals; a draw exactly equal to f32(0.95)
+            # would flip branch under an f64 compare).
+            choose = f32(rng.gen_f32())
+            if choose < f32(0.8):
                 if moving_diffuse:
-                    dy = rng2.uniform_inclusive(0.0, 0.5)
-                albedo = (rng.gen_f32() * rng.gen_f32(),
-                          rng.gen_f32() * rng.gen_f32(),
-                          rng.gen_f32() * rng.gen_f32())
+                    dy = f32(rng2.uniform_inclusive(0.0, 0.5))
+                albedo = (f32(f32(rng.gen_f32()) * f32(rng.gen_f32())),
+                          f32(f32(rng.gen_f32()) * f32(rng.gen_f32())),
+                          f32(f32(rng.gen_f32()) * f32(rng.gen_f32())))
                 mat = b.lambertian(albedo)
                 if moving_diffuse:
-                    b.moving_sphere(center, (cx, 0.2 + dy, cz), 0.0, 1.0,
-                                    0.2, mat)
+                    b.moving_sphere(center, (cx, f32(f32(0.2) + dy), cz),
+                                    0.0, 1.0, 0.2, mat)
                 else:
                     b.sphere(center, 0.2, mat)
-            elif choose < 0.95:
-                albedo = (0.5 * (1.0 + rng.gen_f32()),
-                          0.5 * (1.0 + rng.gen_f32()),
-                          0.5 * (1.0 + rng.gen_f32()))
-                b.sphere(center, 0.2, b.metal(albedo,
-                                              fuzz=0.5 * rng.gen_f32()))
+            elif choose < f32(0.95):
+                albedo = (f32(f32(0.5) * f32(f32(1.0) + f32(rng.gen_f32()))),
+                          f32(f32(0.5) * f32(f32(1.0) + f32(rng.gen_f32()))),
+                          f32(f32(0.5) * f32(f32(1.0) + f32(rng.gen_f32()))))
+                b.sphere(center, 0.2,
+                         b.metal(albedo,
+                                 fuzz=f32(f32(0.5) * f32(rng.gen_f32()))))
             else:
                 b.sphere(center, 0.2, b.dielectric(1.5))
     b.sphere((0.0, 1.0, 0.0), 1.0, b.dielectric(1.5))

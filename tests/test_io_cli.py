@@ -82,3 +82,27 @@ def test_cli_unknown_scene():
     r = _run_cli("--scene", "nope", "-r", "8x8", "-s", "1")
     assert r.returncode == 2
     assert "unknown scene" in r.stderr
+
+
+def test_driver_auto_selection():
+    """`auto` (the CLI default) resolves to the tile megakernel on TPU
+    for kernel-supported scenes and to queue otherwise (VERDICT r2 #4:
+    the fast path must be the default)."""
+    from rrt_tpu.cli import build_parser, resolve_driver
+    from rrt_tpu.scenes import diffuse_scene
+
+    assert build_parser().parse_args([]).driver == "auto"
+
+    scene, _ = diffuse_scene(16, 9)
+    assert resolve_driver("auto", "tpu", scene) == "tile"
+    assert resolve_driver("auto", "cpu", scene) == "queue"
+    # explicit requests are honored (tile degrades off-TPU)
+    assert resolve_driver("queue", "tpu", scene) == "queue"
+    assert resolve_driver("batch", "tpu", scene) == "batch"
+    assert resolve_driver("tile", "cpu", scene) == "queue"
+    assert resolve_driver("tile", "tpu", scene) == "tile"
+
+
+def test_render_config_fast_defaults():
+    from rrt_tpu.render import RenderConfig
+    assert RenderConfig().use_megakernel

@@ -11,16 +11,77 @@ from rrt_tpu.scenes import (book2chap2_scene, chap11_scene, chap12_scene,
 from rrt_tpu.xoshiro import Xoshiro128Plus
 
 
+# Independently derived from the published algorithms (rand_core
+# seed_from_u64 = SplitMix64, Blackman & Vigna xoshiro128+, rand Standard
+# f32 = top-24-bits * 2^-24) by a standalone C implementation — NOT by
+# running rrt_tpu.xoshiro. Any perturbation of a constant in xoshiro.py
+# fails these asserts. This pins the draw stream the reference consumes
+# via rand_xoshiro::Xoshiro128Plus::seed_from_u64(0)
+# (/root/reference/src/main.rs:65, src/rng.rs:14).
+_SEED0_STATE = (0x7B1DCDAF, 0xE220A839, 0xA1B965F4, 0x6E789E6A)
+_SEED0_U32 = (0xE9966C19, 0xB8F8985E, 0xC3536FC5, 0x97D6A8F6,
+              0xB7864A26, 0x390A0B5A, 0xC85CF6AF, 0x3BAAAC5E)
+_SEED0_F32 = (0.912451506, 0.72254324, 0.762991846, 0.593119144,
+              0.716892838, 0.222809494, 0.782668471, 0.233072996)
+
+
 def test_xoshiro_seed_zero_reference_stream():
-    """Pin the seed-0 stream: rand_core's SplitMix64 expansion of seed 0
-    gives a fixed state; the first draws must be stable forever (they
-    define scene layouts)."""
+    """The seed-0 stream against independently derived literal values
+    (VERDICT r2 weak #4: parity must be tested against values, not
+    self-referentially)."""
     rng = Xoshiro128Plus(0)
-    first = [rng.gen_f32() for _ in range(4)]
-    rng2 = Xoshiro128Plus(0)
-    assert [rng2.gen_f32() for _ in range(4)] == first
-    assert all(0.0 <= v < 1.0 for v in first)
-    assert len(set(first)) == 4  # not degenerate
+    assert tuple(rng.s) == list(_SEED0_STATE) or tuple(rng.s) == _SEED0_STATE
+    assert tuple(rng.next_u32() for _ in range(8)) == _SEED0_U32
+    rng = Xoshiro128Plus(0)
+    got = [rng.gen_f32() for _ in range(8)]
+    np.testing.assert_allclose(got, _SEED0_F32, rtol=0, atol=2e-9)
+    # f32 draws are exactly (u32 >> 8) * 2^-24
+    for g, u in zip(got, _SEED0_U32):
+        assert g == (u >> 8) * 2.0 ** -24
+
+
+def test_chap12_first_grid_sphere_values():
+    """The first grid-cell sphere's record, computed by hand from the
+    pinned u32 stream with f32 arithmetic (the reference computes in f32,
+    src/chap12.rs:22-27): cell (a=-11, b=-11) draws cx, cz, choose=0.763
+    (diffuse), then 6 albedo draws. The built scene must contain exactly
+    this sphere regardless of slot order (the Morton sort permutes)."""
+    f32 = np.float32
+    d = [f32((u >> 8) * 2.0 ** -24) for u in _SEED0_U32]
+    cx = f32(f32(-11.0) + f32(f32(0.9) * d[0]))
+    cz = f32(f32(-11.0) + f32(f32(0.9) * d[1]))
+    assert float(cx) == -10.178793907165527
+    assert float(cz) == -10.349711418151855
+    assert float(d[2]) == 0.7629918456077576 and d[2] < f32(0.8)  # diffuse
+    albedo = (f32(d[3] * d[4]), f32(d[5] * d[6]))
+
+    scene, _ = chap12_scene(120, 80)
+    valid = np.asarray(scene.sphere_valid)
+    c0 = np.asarray(scene.sphere_c0)
+    hit = valid & (c0[:, 0] == cx) & (c0[:, 2] == cz)
+    assert hit.sum() == 1, "first grid sphere missing or duplicated"
+    i = int(np.argmax(hit))
+    assert float(np.asarray(scene.sphere_radius)[i]) == f32(0.2)
+    m = int(np.asarray(scene.sphere_mat)[i])
+    assert int(np.asarray(scene.mat_type)[m]) == 0  # MAT_LAMBERTIAN
+    tex = int(np.asarray(scene.mat_tex)[m])
+    col = np.asarray(scene.tex_color1)[tex]
+    assert float(col[0]) == float(albedo[0]) == 0.425202876329422
+    assert float(col[1]) == float(albedo[1]) == 0.17438596487045288
+
+
+def test_chap12_layout_checksums():
+    """Permutation-invariant layout checksums for seed 0, frozen after
+    the builder switched to reference-exact f32 arithmetic. 484 spheres
+    (4 grid cells rejected near (4,0.2,0)); sums are exact f32-of-f64
+    accumulations over the valid slots."""
+    scene, _ = chap12_scene(120, 80)
+    valid = np.asarray(scene.sphere_valid)
+    assert int(valid.sum()) == 484
+    c0 = np.asarray(scene.sphere_c0)[valid].astype(np.float64)
+    r = np.asarray(scene.sphere_radius)[valid].astype(np.float64)
+    assert np.float32(c0.sum()) == np.float32(-971.883056640625)
+    assert np.float32(r.sum()) == np.float32(1099.0)
 
 
 def test_chap12_layout_structure():
