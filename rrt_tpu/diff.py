@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .camera import Camera
-from .parallel.mesh import render_image_sharded
+from .parallel.mesh import render_image_diff_sharded
 from .render import RenderConfig, render_image, render_image_diff
 from .scene import SceneArrays
 
@@ -57,8 +57,10 @@ def render_loss(params: dict, camera: Camera, scene: SceneArrays,
     if mesh is None:
         img, _ = render_image_diff(s, camera, cfg, seed)
     else:
-        img, _ = render_image_sharded(s, camera, cfg, seed, mesh,
-                                      differentiable=True)
+        # Sharded fused tile train path when in kernel scope (one
+        # spill-forward + one replay-adjoint launch per dp-shard, grads
+        # all-reduced by the shard_map transpose); XLA scan otherwise.
+        img, _ = render_image_diff_sharded(s, camera, cfg, seed, mesh)
     return jnp.mean((img - target) ** 2)
 
 

@@ -104,6 +104,25 @@ def _fam_target(count: int) -> int:
     return 128 if count <= 128 else _round_up(count, TS)
 
 
+def pallas_call(*args, **kwargs):
+    """pl.pallas_call with the RRT_INTERPRET=1 escape hatch: interpret
+    mode lets every kernel (forward tiles, queue steps, the vjp/train
+    chains and their shard_map wrappers) run on the CPU backend for
+    tests and the multi-chip dry run. Read at call time so a process
+    can flip it before tracing."""
+    if os.environ.get("RRT_INTERPRET") == "1":
+        kwargs["interpret"] = True
+    return pl.pallas_call(*args, **kwargs)
+
+
+def kernels_available() -> bool:
+    """Whether the Pallas kernel paths can execute on this backend:
+    real TPU, or any backend under RRT_INTERPRET=1."""
+    import jax
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("RRT_INTERPRET") == "1")
+
+
 def _fam_width(packed: int) -> int:
     """Tile width a pack was built with, derived from its padded size
     (so every consumer — forward, replay, adjoint scatters, bounds,
@@ -1495,7 +1514,7 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
         max_depth=float(max_depth), cull_s=cull_s, cull_q=cull_q,
         cull_b=cull_b, fam_n=fam_n)
 
-    state_out = pl.pallas_call(
+    state_out = pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
@@ -1763,7 +1782,7 @@ def intersect_only(rays8, keys, spheres24, quads24, med24, *,
         q_tiles=_fam_tiles(q_count), moving=moving, has_quads=has_quads,
         n_media=n_media, t_min=t_min)
 
-    out = pl.pallas_call(
+    out = pallas_call(
         kern,
         grid=(q // TN,),
         in_specs=[
@@ -2087,7 +2106,7 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
         n_media=n_media, t_min=t_min, max_depth=float(max_depth),
         cull_s=cull_s, cull_q=cull_q, cull_b=cull_b, fam_n=fam_n)
 
-    out = pl.pallas_call(
+    out = pallas_call(
         kern,
         grid=(npad // block,),
         in_specs=[

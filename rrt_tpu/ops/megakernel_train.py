@@ -639,7 +639,7 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
         b_tiles=b_tiles, cull_s=cull_s, cull_q=cull_q,
         cull_b=cull_b, **flags)
     n_lanes = npad // chains
-    out, bounds = pl.pallas_call(
+    out, bounds = mk.pallas_call(
         kern,
         grid=(npad // block,),
         in_specs=[
@@ -711,7 +711,7 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
     md = max(1, flags["n_media"])
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    outs = mk.pallas_call(
         kern,
         grid=(npad // block,),
         in_specs=[

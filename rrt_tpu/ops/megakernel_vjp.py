@@ -725,7 +725,7 @@ def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
     grid = (q // TN,)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out = mk.pallas_call(
         kern,
         grid=grid,
         in_specs=[

@@ -331,7 +331,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
     pixel_gid = (py * cfg.width + px).astype(jnp.uint32)
     total = p_count * (sample_hi - sample_lo)
     k_steps = max(1, cfg.bounces_per_refill)
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = ops_mega.kernels_available()
     use_mk = cfg.use_megakernel and ops_mega.supports(scene) and on_tpu
     # Fallback scenes (perlin/image textures) still get the fused
     # closest-hit kernel inside the XLA bounce step.
@@ -473,7 +473,7 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
     replica = jnp.repeat(jnp.arange(spc, dtype=jnp.uint32), p_count)
     # The fused kernels need TN-aligned batches and a TPU.
     n_rays_tile = p_count * spc
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = ops_mega.kernels_available()
     aligned = n_rays_tile % ops_mega.TN == 0
     # (intersect_only has no box family; box scenes use the XLA
     # broadcast intersect or the full megakernel instead.)
@@ -770,7 +770,7 @@ def render_image_diff(scene: SceneArrays, camera: Camera,
     on media, >4 media) uses the rematerialized-scan batch driver.
     Returns (image (H,W,3) mean radiance, n_traced)."""
     from .ops import megakernel_train as mkt
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = ops_mega.kernels_available()
     if on_tpu and cfg.use_megakernel and mkt.supports_train(scene):
         rad, n = trace_tiles_diff(scene, camera, cfg, seed)
         image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(
