@@ -108,7 +108,14 @@ def main():
         scene_extras[name + "_mrays_per_s"] = round(
             float(n2) / med2 / 1e6, 2)
 
-    # --- backward: fused custom_vjp train step, full depth 50 -----------
+    # --- backward: fused custom_vjp chain path, full depth 50 -----------
+    # 262k lanes, the round-1/2 headline config (kept verbatim so
+    # vs_baseline tracks real movement). Measured r3: the chain path is
+    # ~6.1 Mrays/s nearly flat from 262k to 1M lanes (0.137 s -> 0.470 s)
+    # — per-launch costs are ~10%, NOT dominant; the 8x gap to the tile
+    # train backward (48.8 Mrays/s) is dead-lane waste inherent to
+    # fixed-batch chains at depth 50. Full-image gradients ride the tile
+    # train path (train_bwd_8spp_s / bwd_tile_mrays_per_s fields).
     n_tile = 262144
     ids = jnp.arange(n_tile, dtype=jnp.int32) * (width * height // n_tile)
     px, py = ids % width, (ids // width) % height
@@ -126,13 +133,18 @@ def main():
     grad_fn = jax.jit(jax.grad(lambda p: loss_fn(p)[0]))
     count_fn = jax.jit(lambda p: loss_fn(p)[1])
     params = partition(scene)
-    jax.block_until_ready(grad_fn(params))  # compile
-    n_bwd_rays = float(count_fn(params))
 
     def sync_tree(g):
         jax.block_until_ready(g)
         float(jax.tree_util.tree_leaves(g)[0].ravel()[0])
         return g
+
+    # Warm through sync_tree, not bare block_until_ready: the helper's
+    # first float() compiles three tiny jits (ravel/dynamic_slice/
+    # squeeze) which otherwise land INSIDE the timed window — the
+    # [0.126, 7.239] bwd spread outlier of BENCH_r02.
+    sync_tree(grad_fn(params))  # compile + warm (incl. sync helper)
+    n_bwd_rays = float(count_fn(params))
 
     bwd_med, bwd_min, bwd_max = _timed(lambda: grad_fn(params), sync_tree)
 
@@ -150,12 +162,30 @@ def main():
         return jnp.mean(rad), n
 
     train_grad = jax.jit(jax.grad(lambda p: train_loss(p)[0]))
+    # custom_vjp primal = the spill-augmented forward launch alone:
+    # train - spill isolates the one segmented replay+adjoint launch.
+    fwd_spill = jax.jit(lambda p: train_loss(p)[0])
     fwd8 = jax.jit(lambda: trace_tiles(scene, cam, cfg8, 0))
-    jax.block_until_ready(train_grad(params))
-    jax.block_until_ready(fwd8())
+    sync_tree(train_grad(params))
+    sync_tree(fwd_spill(params))
+    sync_tree(fwd8())
     n_train_rays = float(jax.jit(lambda p: train_loss(p)[1])(params))
     train_med, _, _ = _timed(lambda: train_grad(params), sync_tree, n=3)
+    spill_med, _, _ = _timed(lambda: fwd_spill(params), sync_tree, n=3)
     fwd8_med, _, _ = _timed(fwd8, sync_tree, n=3)
+    bwd_tile_s = train_med - spill_med
+
+    # --- sharded fused train step, (dp=1, sp=1) mesh ---------------------
+    # (single chip here; proves the shard_map train path compiles and
+    # runs on hardware — efficiency at N needs N chips.)
+    from rrt_tpu.diff import make_train_step
+    from rrt_tpu.parallel.mesh import make_mesh
+    mesh1 = make_mesh(dp=1, sp=1)
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    step1 = make_train_step(cfg8, mesh=mesh1)
+    sync_tree(step1(scene, cam, target, 0))
+    tr_sh_med, _, _ = _timed(lambda: step1(scene, cam, target, 0),
+                             sync_tree, n=3)
 
     # fwd+bwd Mrays/s: rays traced in forward plus the backward's
     # replay+adjoint rays, over the combined median wall time.
@@ -190,9 +220,14 @@ def main():
             "bwd_s_spread": [round(bwd_min, 3), round(bwd_max, 3)],
             "train_step_8spp_s": round(train_med, 3),
             "train_fwd_8spp_s": round(fwd8_med, 3),
+            "train_fwd_spill_8spp_s": round(spill_med, 3),
+            "train_bwd_8spp_s": round(bwd_tile_s, 3),
+            "bwd_tile_mrays_per_s": round(
+                2.0 * n_train_rays / bwd_tile_s / 1e6, 2),
             "train_ratio_vs_fwd": round(train_med / fwd8_med, 2),
             "train_mrays_per_s": round(n_train_rays / train_med / 1e6,
                                        2),
+            "train_step_sharded_s": round(tr_sh_med, 3),
             "scene_build_s": round(build_s, 3),
             **scene_extras,
             "fwd_rays": fwd_rays,

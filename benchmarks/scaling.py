@@ -1,19 +1,41 @@
 """Scaling-efficiency harness (SURVEY.md §4 item 5, north-star >= 85%).
 
-Measures rays/s of the sharded renderer at 1, 2, 4, ... devices with the
-per-device workload held constant (weak scaling over the spp axis) and
-with the total workload held constant (strong scaling over tiles).
+Measures rays/s of the sharded renderers at 1, 2, 4, ... devices two
+ways:
+  * strong scaling — total workload fixed (tiles split over "dp");
+  * weak scaling — per-device workload fixed (spp grows with the "sp"
+    axis), the regime the >=85% target describes.
 
-On real hardware this runs across chips/hosts; with
---xla_force_host_platform_device_count it validates the sharding logic on
-virtual CPU devices (reported efficiency there reflects host contention,
-not ICI)."""
+Driver: `queue` (render_image_queue_sharded, runs on any backend),
+`tile` (render_image_tiles_sharded, TPU or RRT_INTERPRET=1), or `batch`
+(the rematerialized-scan path). Timings are median of 3 post-warmup
+runs.
+
+On real hardware this runs across chips/hosts; with --cpu it validates
+the sharding logic on virtual CPU devices. IMPORTANT CAVEAT for virtual
+runs: the virtual devices share the host's physical cores (this box has
+4), so reported "efficiency" measures host contention, NOT ICI — the
+harness's job there is only to prove the sweep runs end-to-end and the
+numbers plumb through. The recorded virtual table lives in BASELINE.md
+("Scaling" section).
+"""
 
 import argparse
+import statistics
 import time
 
 import jax
-import jax.numpy as jnp
+
+
+def _median_time(fn, n=3):
+    fn()  # warm (compile happened in caller's first call)
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        img, nt = fn()
+        img.block_until_ready()
+        ts.append(time.time() - t0)
+    return statistics.median(ts), float(nt)
 
 
 def main():
@@ -24,6 +46,10 @@ def main():
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=144)
     ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--driver", choices=("queue", "tile", "batch"),
+                    default="queue")
+    ap.add_argument("--mode", choices=("strong", "weak", "both"),
+                    default="both")
     args = ap.parse_args()
 
     if args.cpu:
@@ -33,33 +59,53 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import rrt_tpu
-    from rrt_tpu.parallel.mesh import make_mesh, render_image_sharded
+    from rrt_tpu.parallel.mesh import (make_mesh,
+                                       render_image_queue_sharded,
+                                       render_image_sharded,
+                                       render_image_tiles_sharded)
     from rrt_tpu.scenes import chap12_scene
+
+    render = {
+        "queue": render_image_queue_sharded,
+        "tile": render_image_tiles_sharded,
+        "batch": lambda s, c, cfg, seed, mesh: render_image_sharded(
+            s, c, cfg, seed, mesh),
+    }[args.driver]
 
     n_dev = len(jax.devices())
     if args.devices:
         n_dev = min(n_dev, args.devices)
-    cfg = rrt_tpu.RenderConfig(
-        width=args.width, height=args.height, spp=args.spp, max_depth=50,
-        tile_pixels=4096, samples_per_pass=2)
-    scene, cam = chap12_scene(cfg.width, cfg.height)
+    scene, cam = chap12_scene(args.width, args.height)
 
-    results = {}
-    n = 1
-    while n <= n_dev:
-        mesh = make_mesh(devices=jax.devices()[:n], sp=1)
-        img, nt = render_image_sharded(scene, cam, cfg, 0, mesh)
-        img.block_until_ready()
-        t0 = time.time()
-        img, nt = render_image_sharded(scene, cam, cfg, 0, mesh)
-        img.block_until_ready()
-        dt = time.time() - t0
-        rays = float(nt)
-        results[n] = rays / dt
-        eff = results[n] / (results[1] * n) if 1 in results else 1.0
-        print(f"devices={n}: {rays / dt / 1e6:.2f} Mrays/s  "
-              f"efficiency={eff:.1%}", flush=True)
-        n *= 2
+    def cfg_for(spp):
+        return rrt_tpu.RenderConfig(
+            width=args.width, height=args.height, spp=spp, max_depth=50,
+            tile_pixels=4096, samples_per_pass=2)
+
+    modes = ("strong", "weak") if args.mode == "both" else (args.mode,)
+    for mode in modes:
+        print(f"== {mode} scaling, driver={args.driver}, "
+              f"{args.width}x{args.height} base spp={args.spp} ==",
+              flush=True)
+        results = {}
+        n = 1
+        while n <= n_dev:
+            # strong: fixed total work, tiles over dp.
+            # weak: spp scales with n over sp (per-device work fixed).
+            if mode == "strong":
+                mesh = make_mesh(devices=jax.devices()[:n], sp=1)
+                cfg = cfg_for(args.spp)
+            else:
+                mesh = make_mesh(devices=jax.devices()[:n], dp=1)
+                cfg = cfg_for(args.spp * n)
+            dt, rays = _median_time(
+                lambda: render(scene, cam, cfg, 0, mesh))
+            results[n] = rays / dt
+            base = results.get(1, results[n])
+            eff = results[n] / (base * n)
+            print(f"devices={n}: {rays / dt / 1e6:7.2f} Mrays/s  "
+                  f"efficiency={eff:.1%}", flush=True)
+            n *= 2
     return 0
 
 

