@@ -193,17 +193,20 @@ def intersect_boxes(scene: SceneArrays, o: V3, d: V3, t_min, t_max):
     for ob, db, hk in ((obx, dbx, scene.box_half[None, :, 0]),
                        (oby, dby, scene.box_half[None, :, 1]),
                        (obz, dbz, scene.box_half[None, :, 2])):
-        inv_db = _safe_div(jnp.ones_like(db), db, eps=1e-12)
-        t1 = (-hk - ob) * inv_db
-        t2 = (hk - ob) * inv_db
-        klo = jnp.minimum(t1, t2)
-        khi = jnp.maximum(t1, t2)
-        parallel = jnp.abs(db) <= 1e-12
-        inside = jnp.abs(ob) <= hk
-        klo = jnp.where(parallel, jnp.where(inside, -INF, INF), klo)
-        khi = jnp.where(parallel, jnp.where(inside, INF, -INF), khi)
-        lo = jnp.maximum(lo, klo)
-        hi = jnp.minimum(hi, khi)
+        # Closed-form slab interval, rounding-identical to the
+        # megakernel's (ops/megakernel.py box tiles): min/max(t1,t2) =
+        # -ob*inv -/+ hk*|inv|; near-parallel axes substitute
+        # inv = 1e30, landing the interval at +/-huge with the correct
+        # emptiness. Keeping the two paths' fp rounding aligned keeps
+        # near-tie face decisions identical (tile-vs-scan grad tests
+        # compare them allclose).
+        par = jnp.abs(db) <= 1e-12
+        inv_db = jnp.where(par, 1e30,
+                           _safe_div(jnp.ones_like(db), db, eps=1e-12))
+        a_t = ob * inv_db
+        b_t = hk * jnp.abs(inv_db)
+        lo = jnp.maximum(lo, -a_t - b_t)
+        hi = jnp.minimum(hi, b_t - a_t)
 
     t = jnp.where(lo > _col(t_min), lo, hi)
     ok = (scene.box_valid[None, :] & (lo < hi)

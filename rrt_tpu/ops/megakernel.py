@@ -132,11 +132,23 @@ def _fam_width(packed: int) -> int:
     slot work: fewer fori iterations and winner selects)."""
     if packed < TS:
         return packed
-    if packed % (2 * TS) == 0 and packed // TS < CULL_MIN_TILES:
-        # Wide tiles only where TS-tiling wouldn't cull either (chap12's
-        # 512 sphere slots: 2x256 -> 1x512, +5.9%). Families with enough
-        # tiles to whole-tile cull keep TS: merging the RTTNW cloud's 4
-        # sphere tiles into 2x512 disabled culling and lost 3%.
+    if packed % (4 * TS) == 0:
+        # One 4*TS-wide tile where it adds no padding: the RTTNW cloud
+        # as a single 1024-wide tile beats 2x512 (28.5 vs 24.8 Mrays/s)
+        # — fewer argmin/select passes at equal slot work. (The earlier
+        # "TS=1024 measured worse" was a _fam_target artifact: that knob
+        # also padded the 400-box family to 1024 slots.)
+        return 4 * TS
+    if packed % (2 * TS) == 0:
+        # Wide tiles whenever they add no padding (chap12's 512 sphere
+        # slots: 2x256 -> 1x512, +5.9%; RTTNW cloud 4x256 -> 2x512,
+        # +6%). Round 2 restricted this to non-culling families, but
+        # round 3 measured whole-tile culls DEAD on the only multi-tile
+        # book scene (rttnw: RRT_CULL_MIN_TILES=99 identical to
+        # default — free-running lanes decohere), so the merge wins
+        # outright; culling still applies at >= CULL_MIN_TILES wide
+        # tiles for genuinely large scenes. 2*2*TS (1024-wide) measured
+        # WORSE (rttnw 24.5 vs 28.5) — Mosaic layout/VMEM pressure.
         return 2 * TS
     return TS
 
@@ -178,7 +190,12 @@ def pack_spheres_full(scene: SceneArrays):
                               * scene.sphere_inv_dt)[:, None] \
         * scene.sphere_dc
     vel = scene.sphere_inv_dt[:, None] * scene.sphere_dc
-    r2 = scene.sphere_radius ** 2
+    # Invalid slots pack r2 = -1 so their discriminant is strictly
+    # negative for every ray (c_coef = |o-c|^2 + 1 > 0): the kernel's
+    # candidate test then needs no separate valid load/and. (Zero-padded
+    # tail slots are equally safe: a radius-0 sphere at the origin has
+    # disc = (o.d)^2 - |d|^2|o|^2 <= 0 by Cauchy-Schwarz.)
+    r2 = jnp.where(scene.sphere_valid, scene.sphere_radius ** 2, -1.0)
     mtype, aux, c1, c2, textype, texscale = _mat_rows(scene,
                                                       scene.sphere_mat)
     s = scene.sphere_radius.shape[0]
@@ -238,8 +255,13 @@ def pack_boxes_full(scene: SceneArrays):
                                                       scene.box_mat)
     b = scene.box_half.shape[0]
     pad = jnp.zeros((5, b), jnp.float32)
+    # Invalid slots pack zero half-extents: a zero-extent box gives
+    # lo >= hi in the slab test for every ray, so the kernel's candidate
+    # test needs no separate valid load/and (zero-padded tail slots are
+    # already in this form).
+    half = jnp.where(scene.box_valid[:, None], scene.box_half, 0.0)
     mat = jnp.concatenate([
-        scene.box_center.T, scene.box_half.T,
+        scene.box_center.T, half.T,
         scene.box_cos[None], scene.box_sin[None],
         scene.box_valid.astype(jnp.float32)[None],
         mtype[None], aux[None], c1.T, c2.T, textype[None],
@@ -282,11 +304,16 @@ def pack_atlas(scene: SceneArrays):
     return jnp.transpose(imgs, (0, 1, 3, 2)).reshape(i * ah, 3 * aw)
 
 
-def _tile_bounding_aabbs(lo, hi, valid):
+def _tile_bounding_aabbs(lo, hi, valid, moving=None):
     """Conservative per-TS-tile AABBs from per-slot AABBs.
 
-    lo, hi: (S, 3) slot bounds; valid: (S,) bool. Returns (n_tiles, 8)
-    f32 rows (lo.xyz | hi.xyz | valid | pad). AABBs rather than bounding
+    lo, hi: (S, 3) slot bounds; valid: (S,) bool; moving: optional (S,)
+    bool — row 7 then flags tiles containing any moving slot, so the
+    kernel's sphere loop can take the cheaper static-candidate path on
+    all-static tiles (saves the 6 time-lerp ops/slot-lane; the RTTNW
+    final scene has ONE moving sphere among 1006).
+    Returns (n_tiles, 8) f32 rows (lo.xyz | hi.xyz | valid | moving).
+    AABBs rather than bounding
     spheres: the book scenes' dominant tiles are flat ground patches,
     where a sphere wastes nearly all its volume (measured on the RTTNW
     final scene: quad-tile skip rate 0.34 with spheres vs 0.82 with
@@ -306,8 +333,13 @@ def _tile_bounding_aabbs(lo, hi, valid):
     tlo = jnp.where(any_valid[:, None], tlo - pad, 0.0)
     thi = jnp.where(any_valid[:, None], thi + pad, 0.0)
     vcol = any_valid.astype(jnp.float32)[:, None]
+    if moving is None:
+        mcol = jnp.zeros_like(vcol)
+    else:
+        mcol = jnp.any((moving & valid).reshape(n_tiles, w),
+                       axis=1).astype(jnp.float32)[:, None]
     return jax.lax.stop_gradient(
-        jnp.concatenate([tlo, thi, vcol, jnp.zeros_like(vcol)], axis=1))
+        jnp.concatenate([tlo, thi, vcol, mcol], axis=1))
 
 
 def pack_sphere_bounds(scene: SceneArrays):
@@ -320,12 +352,14 @@ def pack_sphere_bounds(scene: SceneArrays):
     lo = jnp.minimum(c0, c1) - r
     hi = jnp.maximum(c0, c1) + r
     s = scene.sphere_radius.shape[0]
+    mov = jnp.any(scene.sphere_dc != 0.0, axis=1)
     target = _fam_target(s)
     if target != s:
         lo = jnp.pad(lo, ((0, target - s), (0, 0)))
         hi = jnp.pad(hi, ((0, target - s), (0, 0)))
+        mov = jnp.pad(mov, (0, target - s))
     valid = jnp.pad(scene.sphere_valid, (0, target - s))
-    return _tile_bounding_aabbs(lo, hi, valid)
+    return _tile_bounding_aabbs(lo, hi, valid, moving=mov)
 
 
 def pack_box_bounds(scene: SceneArrays):
@@ -864,21 +898,16 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 for ob, db, hk in ((obx, dbx, col[3:4]),
                                    (oby, dby, col[4:5]),
                                    (obz, dbz, col[5:6])):
+                    # Closed-form slab interval (see the tile path).
                     par = jnp.abs(db) <= 1e-12
-                    inv_db = 1.0 / jnp.where(par, 1.0, db)
-                    t1 = (-hk - ob) * inv_db
-                    t2 = (hk - ob) * inv_db
-                    klo = jnp.minimum(t1, t2)
-                    khi = jnp.maximum(t1, t2)
-                    inside = jnp.abs(ob) <= hk
-                    big = jnp.where(inside, INF, -INF)
-                    klo = jnp.where(par, -big, klo)
-                    khi = jnp.where(par, big, khi)
-                    lo = jnp.maximum(lo, klo)
-                    hi = jnp.minimum(hi, khi)
+                    inv_db = jnp.where(par, 1e30, 1.0 / jnp.where(
+                        par, 1.0, db))
+                    a_t = ob * inv_db
+                    b_t = hk * jnp.abs(inv_db)
+                    lo = jnp.maximum(lo, -a_t - b_t)
+                    hi = jnp.minimum(hi, b_t - a_t)
                 t = jnp.where(lo > t_min, lo, hi)
-                ok = ((col[8:9] > 0.5) & (lo < hi) & (t > t_min)
-                      & (t < t_b))
+                ok = (lo < hi) & (t > t_min)
                 t_cand = jnp.where(ok, t, INF)
                 t_b, b_sel, i_b = _scalar_winner(col, t_cand, bi, t_b,
                                                  b_sel, i_b)
@@ -890,10 +919,9 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 bcx = blk[0:1].T
                 bcy = blk[1:2].T
                 bcz = blk[2:3].T
-                bhx = blk[3:4].T
+                bhx = blk[3:4].T  # pack: 0 on invalid slots (lo >= hi)
                 bhy = blk[4:5].T
                 bhz = blk[5:6].T
-                valid = blk[8:9].T > 0.5
                 wx = ox - bcx  # (TS, TN)
                 wy = oy - bcy
                 wz = oz - bcz
@@ -916,22 +944,26 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 hi = jnp.full(wx.shape, INF, jnp.float32)
                 for ob, db, hk in ((obx, dbx, bhx), (oby, dby, bhy),
                                    (obz, dbz, bhz)):
+                    # Closed-form slab interval: min/max(t1,t2) =
+                    # -ob*inv -/+ hk*|inv| (hk >= 0), valid for either
+                    # sign of db. Near-parallel axes substitute
+                    # inv = 1e30, which lands the interval at +/-huge
+                    # with the CORRECT emptiness: |ob| < hk ->
+                    # (-huge, +huge) non-constraining; ob > hk -> both
+                    # ends -huge (empty via hi); ob < -hk -> both +huge
+                    # (empty via lo). Replaces the per-axis inside/big
+                    # selects (~6 fewer (TS,TN) ops per axis).
                     par = jnp.abs(db) <= 1e-12
-                    inv_db = 1.0 / jnp.where(par, 1.0, db)
-                    t1 = (-hk - ob) * inv_db
-                    t2 = (hk - ob) * inv_db
-                    klo = jnp.minimum(t1, t2)
-                    khi = jnp.maximum(t1, t2)
-                    inside = jnp.abs(ob) <= hk
-                    big = jnp.where(inside, INF, -INF)
-                    klo = jnp.where(par, -big, klo)
-                    khi = jnp.where(par, big, khi)
-                    lo = jnp.maximum(lo, klo)
-                    hi = jnp.minimum(hi, khi)
+                    inv_db = jnp.where(par, 1e30, 1.0 / jnp.where(
+                        par, 1.0, db))
+                    a_t = ob * inv_db
+                    b_t = hk * jnp.abs(inv_db)
+                    lo = jnp.maximum(lo, -a_t - b_t)
+                    hi = jnp.minimum(hi, b_t - a_t)
                 # Inside-start rays hit the far face (the 6-quad
                 # decomposition's near faces fail the t window).
                 t = jnp.where(lo > t_min, lo, hi)
-                ok = (valid & (lo < hi) & (t > t_min) & (t < t_b))
+                ok = (lo < hi) & (t > t_min)
                 t_cand = jnp.where(ok, t, INF)
                 return _select_winner(blk, t_cand,
                                       bi.astype(jnp.float32) * b_w,
@@ -984,11 +1016,13 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                 root0 = (-half_b - sq) * inv_a
                 root1 = (-half_b + sq) * inv_a
-                ok = (disc > 0.0) & (col[7:8] > 0.5)
-                in0 = ok & (root0 > t_min) & (root0 < t_s)
-                in1 = ok & (root1 > t_min) & (root1 < t_s)
-                t_cand = jnp.where(in0, root0,
-                                   jnp.where(in1, root1, INF))
+                # Same compact window as the tile path: invalid slots
+                # pack r2 = -1 (disc < 0); the t_s bound is the winner
+                # update itself.
+                t0c = jnp.where(root0 > t_min, root0, INF)
+                t1c = jnp.where(root1 > t_min, root1, INF)
+                t_cand = jnp.where(disc > 0.0, jnp.minimum(t0c, t1c),
+                                   INF)
                 t_s, s_sel, i_s = _scalar_winner(col, t_cand, si, t_s,
                                                  s_sel, i_s)
             sphere_done_scalar = True
@@ -997,16 +1031,15 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
 
         # fori_loop (not python unroll): Mosaic keeps every unrolled
         # iteration's temporaries on the scoped VMEM stack.
-        def sphere_tile_full(si, carry):
+        def sphere_tile_full(si, carry, mv=moving):
             t_s, s_sel, i_s = carry
             off = pl.multiple_of(si * s_w, s_w)
             blk = sph_ref[:, pl.ds(off, s_w)]  # (24, s_w)
             bx = blk[0:1].T
             by = blk[1:2].T
             bz = blk[2:3].T
-            r2 = blk[3:4].T
-            valid = blk[7:8].T > 0.5
-            if moving:
+            r2 = blk[3:4].T  # pack: -1 on invalid slots (disc < 0)
+            if mv:
                 cxt = bx + time * blk[4:5].T
                 cyt = by + time * blk[5:6].T
                 czt = bz + time * blk[6:7].T
@@ -1021,13 +1054,32 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             root0 = (-half_b - sq) * inv_a
             root1 = (-half_b + sq) * inv_a
-            ok = (disc > 0.0) & valid
-            in0 = ok & (root0 > t_min) & (root0 < t_s)
-            in1 = ok & (root1 > t_min) & (root1 < t_s)
-            t_cand = jnp.where(in0, root0, jnp.where(in1, root1, INF))
+            # Nearest root in (t_min, inf): min() takes root1 exactly
+            # when root0 <= t_min < root1 (inside the sphere). No
+            # valid/< t_s compares — invalid slots fail disc > 0 by
+            # construction and the winner update is the t_s bound
+            # (candidates beyond the running winner lose the argmin;
+            # identical selection, ~5 fewer (TS,TN) ops per slot).
+            t0c = jnp.where(root0 > t_min, root0, INF)
+            t1c = jnp.where(root1 > t_min, root1, INF)
+            t_cand = jnp.where(disc > 0.0, jnp.minimum(t0c, t1c), INF)
             return _select_winner(blk, t_cand,
                                   si.astype(jnp.float32) * s_w,
                                   t_s, s_sel, i_s)
+
+        if moving and sb_ref is not None and s_tiles > 1:
+            # Per-tile static/moving split (bounds row 7): all-static
+            # tiles skip the 6 time-lerp ops/slot-lane. With vel rows
+            # exactly 0, both bodies are bit-identical (x + t*0 == x),
+            # so this is purely a cost fork. RTTNW final: 1 moving
+            # sphere among 1006 slots paid the lerp on every slot.
+            def sphere_tile_mv(si, carry):
+                return jax.lax.cond(
+                    sb_ref[si, 7] > 0.5,
+                    lambda c: sphere_tile_full(si, c, True),
+                    lambda c: sphere_tile_full(si, c, False), carry)
+        else:
+            sphere_tile_mv = sphere_tile_full
 
         if cull_s:
             # Whole-tile skip: one cheap per-lane slab test against the
@@ -1037,10 +1089,10 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             def sphere_tile(si, carry):
                 return jax.lax.cond(
                     jnp.any(tile_poss(sb_ref, si, carry[0])),
-                    lambda c: sphere_tile_full(si, c),
+                    lambda c: sphere_tile_mv(si, c),
                     lambda c: c, carry)
         else:
-            sphere_tile = sphere_tile_full
+            sphere_tile = sphere_tile_mv
 
         if not sphere_done_scalar:
             t_s, s_sel, i_s = jax.lax.fori_loop(

@@ -213,6 +213,7 @@ def test_megakernel_image_on_quad():
     _one_step(scene, cam, 32, 18)
 
 
+@pytest.mark.slow
 def test_megakernel_rttnw_final_supported():
     from rrt_tpu.scenes import rttnw_final_scene
     scene, cam = rttnw_final_scene(32, 18)
@@ -269,6 +270,7 @@ def test_megakernel_multi_step():
         assert close.mean() > 0.97, close.mean()
 
 
+@pytest.mark.slow
 def test_whole_tile_cull_exact():
     """Whole-tile AABB culling must be behavior-preserving: bounce_steps
     with tile bounds produces bit-identical state to bounce_steps

@@ -91,6 +91,7 @@ def test_chain_grads_chap12():
     _compare(scene, cam, 32, 18)
 
 
+@pytest.mark.slow
 def test_chain_grads_cornell_quads_emissive():
     """Quads + emissive light through the fused-vjp chain. The stock
     cornell scene now carries its boxes in the box family (out of
@@ -111,6 +112,7 @@ def test_chain_grads_cornell_quads_emissive():
     _compare(scene, cam, 32, 32)
 
 
+@pytest.mark.slow
 def test_chain_grads_cornell_box_family():
     """The stock cornell scene (rotated box-family primitives) through
     the fused-vjp chain: slab-face t and rotated normals re-derived from
@@ -123,6 +125,7 @@ def test_chain_grads_cornell_box_family():
     _compare(scene, cam, 32, 32)
 
 
+@pytest.mark.slow
 def test_chain_grads_axis_aligned_boxes():
     """Axis-aligned box family (the RTTNW-ground shape) with a sky
     background and a sphere alongside."""
@@ -146,12 +149,14 @@ def test_chain_grads_axis_aligned_boxes():
     _compare(scene, cam, 32, 32)
 
 
+@pytest.mark.slow
 def test_chain_grads_moving_spheres():
     scene, cam = book2chap2_scene(32, 18)
     assert mkv.supports_backward(scene)
     _compare(scene, cam, 32, 18)
 
 
+@pytest.mark.slow
 def test_chain_grads_image_texture():
     scene, cam = earth_scene(32, 18)
     assert mkv.supports_backward(scene)

@@ -132,12 +132,14 @@ def _compare(scene, cam, w, h, spp=2, max_depth=3, rtol=2e-3,
                                    err_msg=f"camera {f.name}")
 
 
+@pytest.mark.slow
 def test_tile_grads_chap12():
     scene, cam = chap12_scene(32, 18)
     assert mkv.supports_backward(scene)
     _compare(scene, cam, 32, 18)
 
 
+@pytest.mark.slow
 def test_tile_grads_cornell_box_family():
     """Rotated box family + emissive quads + black background, with a
     multi-sample free run (spp=2 exercises the in-sample regeneration
@@ -148,6 +150,7 @@ def test_tile_grads_cornell_box_family():
     _compare(scene, cam, 24, 24)
 
 
+@pytest.mark.slow
 def test_tile_grads_constant_media():
     """cornell_smoke through the tile train path: the medium boundary
     entry t, neg_inv_density and isotropic albedo gradients must match
@@ -161,6 +164,7 @@ def test_tile_grads_constant_media():
     _compare(scene, cam, 24, 24, spp=1, cam_rtol=None)
 
 
+@pytest.mark.slow
 def test_tile_grads_medium_geometry():
     """Medium boundary/density gradients are nonzero only when the
     post-scatter radiance depends on the scatter *position* — here via
@@ -187,6 +191,7 @@ def test_tile_grads_medium_geometry():
                              "med_neg_inv_density"))
 
 
+@pytest.mark.slow
 def test_tile_grads_progressive_chunk():
     """sample_lo > 0 (a resumed/progressive chunk) must replay the same
     keys as the batch driver's matching sample range. This config has
