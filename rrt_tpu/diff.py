@@ -64,12 +64,102 @@ def render_loss(params: dict, camera: Camera, scene: SceneArrays,
     return jnp.mean((img - target) ** 2)
 
 
+def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
+                            spp_chunk: int | None = None):
+    """Full-spp MSE training step executed as MULTIPLE device calls —
+    the north-star 1200x800x500spp config end to end.
+
+    One jitted call containing every sample chunk exceeds this
+    runtime's single-execution window (~60 s: 4x64spp chunk graphs run
+    in 41.6 s, 6 fault — BASELINE.md), and without remat a nonlinear
+    loss would keep every chunk's segment-boundary residual alive at
+    once. This step exploits the image's LINEARITY in per-chunk
+    radiance instead:
+
+      pass 1  forward chunks (trace_tiles, fast kernel) -> image;
+      pass 2  loss + d(loss)/d(image) (tiny jit);
+      pass 3  per chunk, ONE spill-forward + ONE replay-adjoint launch
+              via jax.vjp seeded with the image cotangent; gradients
+              accumulate on host refs.
+
+    Numerically identical to make_train_step's one-shot gradient (same
+    (pixel, sample)-global keys; f32 accumulation order differs), with
+    HBM bounded at one chunk's residual and every device call well
+    inside the execution window.
+
+    Returns step(scene, camera, target, seed) ->
+        (scene', camera', loss)."""
+    from .render import (DIFF_SAMPLE_BUDGET, trace_tiles,
+                         trace_tiles_diff)
+
+    chunk = spp_chunk or DIFF_SAMPLE_BUDGET
+    if cfg.spp % chunk != 0:
+        chunk = next(c for c in range(chunk, 0, -1) if cfg.spp % c == 0)
+    n_pix = cfg.width * cfg.height
+
+    @jax.jit
+    def fwd_chunk(scene, camera, seed, lo):
+        return trace_tiles(scene, camera, cfg, seed, sample_lo=lo,
+                           n_samples=chunk)
+
+    @jax.jit
+    def loss_and_cot(rad_sum, target):
+        def loss_of(rs):
+            img = rs.reshape(cfg.height, cfg.width, 3) / jnp.float32(
+                cfg.spp)
+            return jnp.mean((img - target) ** 2)
+        return jax.value_and_grad(loss_of)(rad_sum)
+
+    @jax.jit
+    def bwd_chunk(scene, params, camera, seed, lo, cot):
+        def rad_of(p, c):
+            rad, _ = trace_tiles_diff(combine(scene, p), c, cfg, seed,
+                                      sample_lo=lo, n_samples=chunk)
+            return rad
+        _, vjp = jax.vjp(rad_of, params, camera)
+        return vjp(cot)
+
+    @jax.jit
+    def apply_sgd(scene_params, camera, gp, gc):
+        new_p = jax.tree.map(lambda p, g: p - lr * g, scene_params, gp)
+        new_c = jax.tree.map(lambda p, g: p - lr * g, camera, gc)
+        return new_p, new_c
+
+    def step(scene: SceneArrays, camera: Camera, target, seed):
+        seed = jnp.asarray(seed)
+        params = partition(scene)
+        rad_sum = jnp.zeros((n_pix, 3), jnp.float32)
+        for lo in range(0, cfg.spp, chunk):
+            r, _ = fwd_chunk(scene, camera, seed, lo)
+            rad_sum = rad_sum + r
+        loss, cot = loss_and_cot(rad_sum, target)
+        gp = gc = None
+        for lo in range(0, cfg.spp, chunk):
+            dgp, dgc = bwd_chunk(scene, params, camera, seed, lo, cot)
+            gp = dgp if gp is None else jax.tree.map(jnp.add, gp, dgp)
+            gc = dgc if gc is None else jax.tree.map(jnp.add, gc, dgc)
+        new_params, new_camera = apply_sgd(params, camera, gp, gc)
+        return combine(scene, new_params), new_camera, loss
+
+    return step
+
+
 def make_train_step(cfg: RenderConfig, mesh=None, lr: float = 1e-2):
     """Jitted full training step: fwd render + bwd replay + SGD update.
+
+    Single-device sample budgets beyond 256 spp route through
+    make_train_step_chunked automatically (same update, multiple device
+    calls): one jit call holding every chunk's fwd+bwd graph exceeds
+    this runtime's ~60 s execution window (BASELINE.md "North-star
+    training"). Sharded steps split spp over "sp" first, so their
+    per-rank budget is usually already inside the window.
 
     Returns step(scene, camera, target, seed) ->
         (scene', camera', loss).
     """
+    from .render import DIFF_SAMPLE_BUDGET
+    if mesh is None and cfg.spp > 4 * DIFF_SAMPLE_BUDGET:
+        return make_train_step_chunked(cfg, lr=lr)
 
     def step(scene: SceneArrays, camera: Camera, target, seed):
         params = partition(scene)

@@ -241,8 +241,10 @@ def trace_tiles_diff_sharded(scene: SceneArrays, camera: Camera,
     if cfg.spp % sp != 0:
         raise ValueError(f"spp={cfg.spp} must be a multiple of sp={sp}")
     spp_local = cfg.spp // sp
+    from ..render import DIFF_SAMPLE_BUDGET
+    chunk = min(spp_local, DIFF_SAMPLE_BUDGET)
     if chains is None:
-        chains = tile_chains_diff(cfg, spp_local)
+        chains = tile_chains_diff(cfg, chunk)
     block = chains * ops_mega.TN
     meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height, block)
     npad = meta.shape[1]
@@ -257,17 +259,17 @@ def trace_tiles_diff_sharded(scene: SceneArrays, camera: Camera,
     s0, s1 = _rng._seed_words(seed_key)
     base_lo = jnp.asarray(sample_lo).astype(jnp.uint32)
 
-    chain = mkt.tile_train_chain(
-        spp_local, chains, scene.has_moving, scene.has_quads,
-        scene.has_boxes, scene.has_rot_boxes, scene.has_perlin,
-        scene.has_images, scene.images.shape[1], scene.images.shape[2],
-        cfg.max_depth, cfg.t_min, n_media=scene.n_media_active,
-        fam_n=scene.fam_n)
+    def make_chain(n_samples):
+        return mkt.tile_train_chain(
+            n_samples, chains, scene.has_moving, scene.has_quads,
+            scene.has_boxes, scene.has_rot_boxes, scene.has_perlin,
+            scene.has_images, scene.images.shape[1],
+            scene.images.shape[2], cfg.max_depth, cfg.t_min,
+            n_media=scene.n_media_active, fam_n=scene.fam_n)
 
     def shard_fn(meta_l, scene, camera, s0, s1, base_lo):
         sp_rank = jax.lax.axis_index("sp").astype(jnp.uint32)
-        lo = base_lo + sp_rank * jnp.uint32(spp_local)
-        seed2 = jnp.stack([s0, s1, lo, jnp.uint32(0)]).astype(jnp.uint32)
+        rank_lo = base_lo + sp_rank * jnp.uint32(spp_local)
         (cam24, sph24, quad24, box24, med24, bg8, atlas, sb, qb,
          bb) = _tile_packs(scene, camera, cfg)
         if atlas is None:
@@ -279,18 +281,27 @@ def trace_tiles_diff_sharded(scene: SceneArrays, camera: Camera,
             qb = jnp.zeros((1, 8), jnp.float32)
         if scene.n_media_active == 0:
             med24 = jnp.zeros((1, 24), jnp.float32)
-        out = chain(meta_l, seed2, cam24, sph24, quad24, box24, med24,
-                    bg8, atlas, sb, qb, bb)
         gid = meta_l[2].astype(jnp.int32)
         validf = meta_l[3]
-        rad = jnp.zeros((n_pix, 3), jnp.float32).at[gid].add(
-            jnp.stack([out[0] * validf, out[1] * validf,
-                       out[2] * validf], axis=-1), mode="drop")
+        rad = jnp.zeros((n_pix, 3), jnp.float32)
+        nt = jnp.zeros((), jnp.float32)
+        # Per-rank sample range in DIFF_SAMPLE_BUDGET chunks (gradient
+        # accumulation across custom_vjp chains keeps the backward's
+        # boundary buffer VMEM-bounded at any spp).
+        for c_lo in range(0, spp_local, chunk):
+            seed2 = jnp.stack([s0, s1, rank_lo + jnp.uint32(c_lo),
+                               jnp.uint32(0)]).astype(jnp.uint32)
+            out = make_chain(min(chunk, spp_local - c_lo))(
+                meta_l, seed2, cam24, sph24, quad24, box24, med24,
+                bg8, atlas, sb, qb, bb)
+            rad = rad.at[gid].add(
+                jnp.stack([out[0] * validf, out[1] * validf,
+                           out[2] * validf], axis=-1), mode="drop")
+            nt = nt + jnp.sum(jax.lax.stop_gradient(out[3]))
         # dp shards cover disjoint pixels: the dp-psum is pure assembly;
         # the sp-psum is the sample-dimension reduction.
         rad = jax.lax.psum(rad, ("dp", "sp"))
-        nt = jax.lax.psum(jnp.sum(jax.lax.stop_gradient(out[3])),
-                          ("dp", "sp"))
+        nt = jax.lax.psum(nt, ("dp", "sp"))
         return rad, nt
 
     rad, n_traced = jax.shard_map(

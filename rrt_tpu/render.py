@@ -703,16 +703,21 @@ def trace_tiles(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
     return rad, jnp.sum(out[3])
 
 
+# Max samples per differentiable launch: the backward's segment-
+# boundary buffer scales with chains*spp (see tile_chains_diff);
+# trace_tiles_diff chunks larger budgets with gradient accumulation.
+DIFF_SAMPLE_BUDGET = 64
+
+
 def tile_chains_diff(cfg: RenderConfig, n_samples: int) -> int:
     """Pixels per lane for the differentiable tile driver. Capped so the
     backward's VMEM working set (K x 24-row replay scratch + the
     resident segment-boundary block, both TN lanes wide) stays well
     inside the raised scoped limit (megakernel_train._VMEM_LIMIT):
-    chains*spp <= 64 keeps it ~12 MB at TN=1024. Larger per-step sample
-    budgets should accumulate gradients over sample_lo chunks
-    instead."""
+    chains*spp <= 64 keeps it ~12 MB at TN=1024. Larger sample budgets
+    accumulate over sample_lo chunks (trace_tiles_diff)."""
     n_pix = cfg.width * cfg.height
-    return max(1, min(16, 64 // max(1, n_samples),
+    return max(1, min(16, DIFF_SAMPLE_BUDGET // max(1, n_samples),
                       n_pix // (4 * ops_mega.TN)))
 
 
@@ -728,10 +733,37 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
     spill-augmented launch, backward is one segmented replay+adjoint
     launch that emits camera and primitive-pack cotangents in-kernel.
     Requires mkt.supports_train(scene) (image-on-media textures and
-    >4 media fall back to trace_batch's scan path via render_image)."""
+    >4 media fall back to trace_batch's scan path via render_image).
+
+    Sample budgets beyond DIFF_SAMPLE_BUDGET accumulate over sample_lo
+    chunks (a python loop of custom_vjp chains; AD sums the pack
+    cotangents across chunks automatically), keeping the backward's
+    segment-boundary buffer inside its VMEM budget at ANY spp — this is
+    what makes the 500spp north-star config trainable end to end."""
     from .ops import megakernel_train as mkt
 
     n_samples = cfg.spp if n_samples is None else n_samples
+    if n_samples > DIFF_SAMPLE_BUDGET:
+        # Each chunk rematerializes (jax.checkpoint): without it, a
+        # nonlinear loss forces every chunk's backward residual — the
+        # segment-boundary buffer, ~6.6 GB/chunk at chains=1 full-image
+        # — to coexist (measured: 500spp faulted the device; one chunk
+        # alone runs fine). Remat re-runs each chunk's spill-forward
+        # during the backward sweep, bounding HBM at ONE chunk's
+        # residual for ~1.3x the forward cost.
+        rad = jnp.zeros((cfg.width * cfg.height, 3), jnp.float32)
+        nt = jnp.zeros((), jnp.float32)
+        for lo in range(0, n_samples, DIFF_SAMPLE_BUDGET):
+            def chunk_fn(scene, camera, lo=lo):
+                return trace_tiles_diff(
+                    scene, camera, cfg, seed,
+                    sample_lo=jnp.asarray(sample_lo) + lo,
+                    n_samples=min(DIFF_SAMPLE_BUDGET, n_samples - lo),
+                    chains=chains)
+            r, n = jax.checkpoint(chunk_fn)(scene, camera)
+            rad = rad + r
+            nt = nt + n
+        return rad, nt
     seed_key = _as_key(seed)
     n_pix = cfg.width * cfg.height
     if chains is None:

@@ -219,3 +219,61 @@ def test_tile_forward_matches_render_tiles():
     agree = (np.abs(a - b) <= 2e-4 * (1.0 + np.abs(a))).all(axis=1)
     assert agree.mean() >= 0.99, f"pixel agreement {agree.mean():.4f}"
     assert float(n2) == pytest.approx(float(n), rel=2e-2)
+
+
+def test_tile_grads_sample_chunking():
+    """Sample budgets beyond DIFF_SAMPLE_BUDGET accumulate over chunked
+    custom_vjp chains; forcing a tiny budget must reproduce the
+    one-launch loss and gradients exactly (same keys, same per-sample
+    math — only f32 accumulation order differs)."""
+    import rrt_tpu.render as rrender
+    from rrt_tpu.scenes import chap11_scene
+
+    scene, cam = chap11_scene(16, 8)
+    cfg = RenderConfig(width=16, height=8, spp=4, max_depth=3)
+    params = partition(scene)
+
+    def loss(p):
+        rad, _ = trace_tiles_diff(combine(scene, p), cam, cfg, 0)
+        return jnp.mean(rad * rad)
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params)
+    budget = rrender.DIFF_SAMPLE_BUDGET
+    rrender.DIFF_SAMPLE_BUDGET = 2  # force 2 chunks of 2 samples
+    try:
+        l_ch, g_ch = jax.value_and_grad(loss)(params)
+    finally:
+        rrender.DIFF_SAMPLE_BUDGET = budget
+    np.testing.assert_allclose(float(l_ref), float(l_ch), rtol=1e-6)
+    total = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_ch)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+        total += float(jnp.sum(jnp.abs(a)))
+    assert total > 0.0
+
+
+def test_make_train_step_chunked_matches_oneshot():
+    """make_train_step_chunked (forward chunks -> image cotangent ->
+    per-chunk backward vjp, the north-star big-spp trainer) must
+    reproduce make_train_step's one-shot update: radiance is linear in
+    per-chunk sums, so the factored cotangent gradient is exact."""
+    from rrt_tpu.diff import make_train_step, make_train_step_chunked
+    from rrt_tpu.scenes import chap11_scene
+
+    cfg = RenderConfig(width=16, height=8, spp=4, max_depth=3)
+    scene, cam = chap11_scene(cfg.width, cfg.height)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    s1, c1, l1 = make_train_step(cfg, lr=1e-2)(scene, cam, target, 0)
+    s2, c2, l2 = make_train_step_chunked(cfg, lr=1e-2, spp_chunk=2)(
+        scene, cam, target, 0)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves((s1, c1)),
+                    jax.tree_util.tree_leaves((s2, c2))):
+        if a.dtype.kind != "f":
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-7)
