@@ -162,3 +162,33 @@ def test_fused_train_sharded_factorization_invariance(monkeypatch):
                     jax.tree_util.tree_leaves(grads[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_train_sharded_sample_chunking(monkeypatch):
+    """The sharded fused train path chunks each rank's sample range at
+    DIFF_SAMPLE_BUDGET; forcing a tiny budget must reproduce the
+    unchunked sharded gradients exactly (same keys; f32 order only)."""
+    monkeypatch.setenv("RRT_INTERPRET", "1")
+    import rrt_tpu.render as rrender
+    from rrt_tpu.diff import combine, partition
+    from rrt_tpu.parallel.mesh import trace_tiles_diff_sharded
+
+    cfg = rrt_tpu.RenderConfig(width=16, height=8, spp=4, max_depth=3)
+    scene, cam = chap11_scene(cfg.width, cfg.height)
+    params = partition(scene)
+    mesh = make_mesh(dp=4, sp=2)
+
+    def loss(p):
+        rad, _ = trace_tiles_diff_sharded(combine(scene, p), cam, cfg,
+                                          0, mesh)
+        return jnp.mean(rad * rad)
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params)
+    monkeypatch.setattr(rrender, "DIFF_SAMPLE_BUDGET", 1)
+    l_ch, g_ch = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l_ref), float(l_ch), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_ch)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
