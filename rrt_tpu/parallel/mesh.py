@@ -140,7 +140,10 @@ def render_image_sharded(scene: SceneArrays, camera: Camera,
 
     # check_vma=False: the bounce loop's carry mixes device-varying state
     # with freshly-created constants, which trips the static varying-axis
-    # verifier; the collectives here (two psums) are correct by inspection.
+    # verifier (justification pinned by
+    # tests/test_sharding.py::test_check_vma_justification, which FAILS
+    # the day a newer JAX accepts the pattern — flip this back on then);
+    # the collectives here (two psums) are correct by inspection.
     rad, n_traced = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("dp"), P("dp"), P(), P(), P()),

@@ -192,3 +192,36 @@ def test_fused_train_sharded_sample_chunking(monkeypatch):
                     jax.tree_util.tree_leaves(g_ch)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-7)
+
+
+def test_check_vma_justification(monkeypatch):
+    """mesh.py sets check_vma=False on every shard_map (VERDICT r2 weak
+    #6). Justification, pinned here so a future JAX that accepts the
+    pattern flips the setting back on: the bounce loop's while_loop
+    carry seeds device-INVARIANT constants (zero state, dummy keys)
+    that become device-VARYING through the loop body, and the static
+    varying-axis verifier requires explicit pvary threading through
+    code shared with the single-device drivers. When this test FAILS
+    (the verifier accepts the carry), re-enable check_vma=True."""
+    calls = {}
+    orig = jax.shard_map
+
+    def forced(f, **kw):
+        kw["check_vma"] = True
+        calls["n"] = calls.get("n", 0) + 1
+        return orig(f, **kw)
+
+    monkeypatch.setattr(jax, "shard_map", forced)
+    import importlib
+
+    import rrt_tpu.parallel.mesh as mesh_mod
+    importlib.reload(mesh_mod)
+    try:
+        scene, cam = diffuse_scene(CFG.width, CFG.height)
+        mesh = mesh_mod.make_mesh(dp=4, sp=2)
+        with pytest.raises(Exception, match="varying manual axes"):
+            mesh_mod.render_image_queue_sharded(scene, cam, CFG, 0, mesh)
+        assert calls.get("n", 0) >= 1
+    finally:
+        monkeypatch.undo()
+        importlib.reload(mesh_mod)
