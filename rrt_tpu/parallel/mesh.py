@@ -294,7 +294,14 @@ def trace_tiles_diff_sharded(scene: SceneArrays, camera: Camera,
         for c_lo in range(0, spp_local, chunk):
             seed2 = jnp.stack([s0, s1, rank_lo + jnp.uint32(c_lo),
                                jnp.uint32(0)]).astype(jnp.uint32)
-            out = make_chain(min(chunk, spp_local - c_lo))(
+            chain = make_chain(min(chunk, spp_local - c_lo))
+            # jax.checkpoint per chunk, as in trace_tiles_diff: without
+            # it a nonlinear loss keeps every chunk's segment-boundary
+            # residual alive at once (~GBs/chunk at full image). Only
+            # when there IS more than one chunk — remat re-runs the
+            # spill forward, a pure cost at a single chunk.
+            wrap = jax.checkpoint if spp_local > chunk else (lambda f: f)
+            out = wrap(chain)(
                 meta_l, seed2, cam24, sph24, quad24, box24, med24,
                 bg8, atlas, sb, qb, bb)
             rad = rad.at[gid].add(
