@@ -173,14 +173,16 @@ def main():
     train_med, _, _ = _timed(lambda: train_grad(params), sync_tree, n=3)
     spill_med, _, _ = _timed(lambda: fwd_spill(params), sync_tree, n=3)
     fwd8_med, _, _ = _timed(fwd8, sync_tree, n=3)
-    bwd_tile_s = train_med - spill_med
+    # floor: both medians are n=3 and independently noisy; a jitter
+    # inversion must not emit a negative/inf backward field.
+    bwd_tile_s = max(train_med - spill_med, 1e-6)
 
     # --- sharded fused train step, (dp=1, sp=1) mesh ---------------------
     # (single chip here; proves the shard_map train path compiles and
     # runs on hardware — efficiency at N needs N chips.)
     from rrt_tpu.diff import make_train_step
     from rrt_tpu.parallel.mesh import make_mesh
-    mesh1 = make_mesh(dp=1, sp=1)
+    mesh1 = make_mesh(devices=jax.devices()[:1], dp=1, sp=1)
     target = jnp.zeros((height, width, 3), jnp.float32)
     step1 = make_train_step(cfg8, mesh=mesh1)
     sync_tree(step1(scene, cam, target, 0))

@@ -28,7 +28,8 @@ import jax
 
 
 def _median_time(fn, n=3):
-    fn()  # warm (compile happened in caller's first call)
+    img, _ = fn()  # warm (compile happened in caller's first call)
+    img.block_until_ready()  # keep the warm run out of the first sample
     ts = []
     for _ in range(n):
         t0 = time.time()

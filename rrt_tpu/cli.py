@@ -97,17 +97,21 @@ def build_parser():
     return p
 
 
-def resolve_driver(driver: str, backend: str, scene) -> str:
+def resolve_driver(driver: str, backend: str, scene,
+                   use_megakernel: bool = True) -> str:
     """Driver auto-selection: the fast path is the default product path
     (VERDICT r2 weak #3). `auto` picks the one-launch tile-resident
-    megakernel whenever the backend is a TPU and the scene is in kernel
-    scope, else the compacted-queue driver; an explicit `tile` request
-    degrades to queue (with a warning at the call site) when
-    unsupported; `queue`/`batch` are honored as-is."""
+    megakernel whenever the backend is a TPU, the scene is in kernel
+    scope AND the megakernel isn't disabled (--no-megakernel must not
+    be silently overridden — the tile driver IS the megakernel), else
+    the compacted-queue driver; an explicit `tile` request degrades to
+    queue (with a warning at the call site) when unsupported;
+    `queue`/`batch` are honored as-is."""
     if driver in ("queue", "batch"):
         return driver
     from rrt_tpu.ops import megakernel as _mk
-    ok = backend == "tpu" and _mk.supports(scene)
+    ok = (backend == "tpu" and _mk.supports(scene)
+          and (use_megakernel or driver == "tile"))
     return "tile" if ok else "queue"
 
 
@@ -166,10 +170,17 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    distributed = (args.coordinator is not None
-                   or args.num_processes is not None
-                   or args.process_id is not None)
+    dist_flags = (args.coordinator, args.num_processes, args.process_id)
+    distributed = any(f is not None for f in dist_flags)
     if distributed:
+        if any(f is None for f in dist_flags):
+            # initialize_distributed silently drops rank args without a
+            # coordinator (auto-detect path) — demand all three so a
+            # typo'd launch fails loudly instead of hanging.
+            print("multi-host mode needs ALL of --coordinator, "
+                  "--num-processes and --process-id (none for TPU-pod "
+                  "auto-detection)", file=sys.stderr)
+            return 2
         # Must run before any other jax op on every process.
         from rrt_tpu.parallel.mesh import initialize_distributed
         initialize_distributed(args.coordinator, args.num_processes,
@@ -202,7 +213,8 @@ def main(argv=None):
         f"({scene.n_spheres} sphere slots, {scene.n_quads} quad slots, "
         f"{scene.n_boxes if scene.has_boxes else 0} box slots)")
 
-    resolved = resolve_driver(args.driver, jax.default_backend(), scene)
+    resolved = resolve_driver(args.driver, jax.default_backend(), scene,
+                              use_megakernel=not args.no_megakernel)
     if resolved != args.driver:
         if args.driver == "tile":
             log("tile driver needs a TPU and a kernel-supported scene; "

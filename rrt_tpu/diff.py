@@ -125,7 +125,20 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
         new_c = jax.tree.map(lambda p, g: p - lr * g, camera, gc)
         return new_p, new_c
 
+    fallback = []
+
     def step(scene: SceneArrays, camera: Camera, target, seed):
+        # Scene/backend gate happens HERE (the scene isn't known at
+        # build time): out-of-kernel-scope scenes and non-Pallas
+        # backends keep the one-shot scan-path step the spp<=256 route
+        # still has, instead of crashing in trace_tiles.
+        from .ops import megakernel as ops_mega
+        from .ops import megakernel_train as mkt
+        if not (cfg.use_megakernel and ops_mega.kernels_available()
+                and mkt.supports_train(scene)):
+            if not fallback:
+                fallback.append(_make_train_step_oneshot(cfg, None, lr))
+            return fallback[0](scene, camera, target, seed)
         seed = jnp.asarray(seed)
         params = partition(scene)
         rad_sum = jnp.zeros((n_pix, 3), jnp.float32)
@@ -151,8 +164,10 @@ def make_train_step(cfg: RenderConfig, mesh=None, lr: float = 1e-2):
     make_train_step_chunked automatically (same update, multiple device
     calls): one jit call holding every chunk's fwd+bwd graph exceeds
     this runtime's ~60 s execution window (BASELINE.md "North-star
-    training"). Sharded steps split spp over "sp" first, so their
-    per-rank budget is usually already inside the window.
+    training"). Out-of-scope scenes/backends fall back to the one-shot
+    scan-path step at call time. Sharded steps split spp over "sp"
+    first, so their per-rank budget is usually already inside the
+    window.
 
     Returns step(scene, camera, target, seed) ->
         (scene', camera', loss).
@@ -160,6 +175,10 @@ def make_train_step(cfg: RenderConfig, mesh=None, lr: float = 1e-2):
     from .render import DIFF_SAMPLE_BUDGET
     if mesh is None and cfg.spp > 4 * DIFF_SAMPLE_BUDGET:
         return make_train_step_chunked(cfg, lr=lr)
+    return _make_train_step_oneshot(cfg, mesh, lr)
+
+
+def _make_train_step_oneshot(cfg: RenderConfig, mesh, lr: float):
 
     def step(scene: SceneArrays, camera: Camera, target, seed):
         params = partition(scene)

@@ -1071,8 +1071,12 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             # Per-tile static/moving split (bounds row 7): all-static
             # tiles skip the 6 time-lerp ops/slot-lane. With vel rows
             # exactly 0, both bodies are bit-identical (x + t*0 == x),
-            # so this is purely a cost fork. RTTNW final: 1 moving
-            # sphere among 1006 slots paid the lerp on every slot.
+            # so this is purely a cost fork. NOTE: dormant on every
+            # book scene — the 4*TS merge packs <=1024-slot families
+            # into ONE tile (s_tiles == 1), and splitting rttnw's cloud
+            # to isolate its single moving sphere measured SLOWER
+            # (24.8 vs 28.6, BASELINE.md). Fires only for >1024-slot
+            # moving families with static tiles.
             def sphere_tile_mv(si, carry):
                 return jax.lax.cond(
                     sb_ref[si, 7] > 0.5,

@@ -617,7 +617,9 @@ def tile_chains(cfg: RenderConfig, scene: SceneArrays = None,
             # packing (28.6 vs 27.5) — the rectangle geometry spreads
             # path-length variance more evenly across lanes.
             c = -(-n_pix // ops_mega.TN)
-            return max(1, min(-(-c // 32) * 32, 128))
+            if c < 32:
+                return max(1, c)  # tiny images: no round-up padding
+            return min(-(-c // 32) * 32, 128)
         elif teq >= 2:
             cap = 32  # (64 measured flat on chap12: 84.2 -> 83.9)
     return max(1, min(n_pix // (2 * ops_mega.TN), cap))

@@ -105,10 +105,17 @@ def earth_scene(nx: int, ny: int, image: np.ndarray | None = None):
 
 
 def rttnw_final_scene(nx: int, ny: int, seed: int = 0,
-                      image: np.ndarray | None = None):
+                      image: np.ndarray | None = None,
+                      ablate: frozenset = frozenset()):
     """RTTNW ch. 10 final scene: ground of random-height boxes, quad light,
     motion blur, glass/metal/subsurface spheres, earth and perlin textures,
-    global fog, and a rotated-translated cloud of 1000 spheres."""
+    global fog, and a rotated-translated cloud of 1000 spheres.
+
+    `ablate` (any of {"earth", "perlin", "media", "boxes", "cloud"})
+    drops a feature while keeping every RNG draw, for per-feature
+    step-cost attribution (benchmarks/rttnw_ablation.py) — NOT a
+    rendering mode. Texture ablations substitute solid colors so the
+    kernel's has_images/has_perlin flags go statically false."""
     rs = np.random.RandomState(seed)
     b = SceneBuilder()
     b.solid_background((0.0, 0.0, 0.0))
@@ -119,7 +126,8 @@ def rttnw_final_scene(nx: int, ny: int, seed: int = 0,
             w = 100.0
             x0, z0 = -1000.0 + i * w, -1000.0 + j * w
             y1 = float(rs.uniform(1.0, 101.0))
-            b.box((x0, 0.0, z0), (x0 + w, y1, z0 + w), ground)
+            if "boxes" not in ablate:
+                b.box((x0, 0.0, z0), (x0 + w, y1, z0 + w), ground)
 
     light = b.diffuse_light((7.0, 7.0, 7.0))
     b.quad((123.0, 554.0, 147.0), (300.0, 0.0, 0.0), (0.0, 0.0, 265.0),
@@ -133,16 +141,20 @@ def rttnw_final_scene(nx: int, ny: int, seed: int = 0,
 
     # Subsurface sphere: glass boundary + interior constant medium.
     b.sphere((360.0, 150.0, 145.0), 70.0, glass)
-    b.medium_sphere((360.0, 150.0, 145.0), 70.0, density=0.2,
-                    albedo=(0.2, 0.4, 0.9))
-    # Global fog over the whole scene.
-    b.medium_sphere((0.0, 0.0, 0.0), 5000.0, density=1.0e-4,
-                    albedo=(1.0, 1.0, 1.0))
+    if "media" not in ablate:
+        b.medium_sphere((360.0, 150.0, 145.0), 70.0, density=0.2,
+                        albedo=(0.2, 0.4, 0.9))
+        # Global fog over the whole scene.
+        b.medium_sphere((0.0, 0.0, 0.0), 5000.0, density=1.0e-4,
+                        albedo=(1.0, 1.0, 1.0))
 
-    earth_tex = b.image(_default_earth_image() if image is None else image)
-    b.sphere((400.0, 200.0, 400.0), 100.0, b.lambertian(earth_tex))
-    b.sphere((220.0, 280.0, 300.0), 80.0,
-             b.lambertian(b.perlin(scale=0.1)))
+    earth_tex = (b.lambertian((0.4, 0.3, 0.2)) if "earth" in ablate
+                 else b.lambertian(b.image(
+                     _default_earth_image() if image is None else image)))
+    b.sphere((400.0, 200.0, 400.0), 100.0, earth_tex)
+    per_tex = (b.lambertian((0.5, 0.5, 0.5)) if "perlin" in ablate
+               else b.lambertian(b.perlin(scale=0.1)))
+    b.sphere((220.0, 280.0, 300.0), 80.0, per_tex)
 
     # 1000-sphere cloud, instanced rotate_y(15) + translate(-100,270,395):
     # baked into the centers (a rotated sphere is a sphere).
@@ -151,6 +163,8 @@ def rttnw_final_scene(nx: int, ny: int, seed: int = 0,
     c, s = math.cos(ang), math.sin(ang)
     for _ in range(1000):
         x, y, z = rs.uniform(0.0, 165.0, size=3)
+        if "cloud" in ablate:
+            continue
         rx = c * x + s * z - 100.0
         rz = -s * x + c * z + 395.0
         b.sphere((float(rx), float(y + 270.0), float(rz)), 10.0, white)

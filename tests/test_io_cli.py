@@ -101,6 +101,12 @@ def test_driver_auto_selection():
     assert resolve_driver("batch", "tpu", scene) == "batch"
     assert resolve_driver("tile", "cpu", scene) == "queue"
     assert resolve_driver("tile", "tpu", scene) == "tile"
+    # --no-megakernel must not be silently overridden by auto (the tile
+    # driver IS the megakernel); an explicit tile request still wins.
+    assert resolve_driver("auto", "tpu", scene,
+                          use_megakernel=False) == "queue"
+    assert resolve_driver("tile", "tpu", scene,
+                          use_megakernel=False) == "tile"
 
 
 def test_render_config_fast_defaults():

@@ -277,3 +277,25 @@ def test_make_train_step_chunked_matches_oneshot():
         else:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-7)
+
+
+def test_train_step_big_spp_falls_back_off_kernel(monkeypatch):
+    """make_train_step above the chunk threshold routes to the chunked
+    trainer, whose step must delegate to the one-shot scan path when
+    the kernels can't run (CPU without RRT_INTERPRET) instead of
+    crashing in Pallas lowering. Threshold scaled down via
+    DIFF_SAMPLE_BUDGET so the scan fallback stays fast."""
+    import rrt_tpu.render as rrender
+    from rrt_tpu.diff import make_train_step
+    from rrt_tpu.scenes import diffuse_scene
+
+    monkeypatch.setattr(rrender, "DIFF_SAMPLE_BUDGET", 2)
+    monkeypatch.delenv("RRT_INTERPRET", raising=False)
+    cfg = RenderConfig(width=8, height=4, spp=12, max_depth=2,
+                       tile_pixels=32, samples_per_pass=2)
+    scene, cam = diffuse_scene(8, 4)
+    target = jnp.zeros((4, 8, 3), jnp.float32)
+    step = make_train_step(cfg, lr=1e-3)  # spp 12 > 4*2 -> chunked
+    s2, c2, loss = step(scene, cam, target, 0)
+    jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))
