@@ -221,6 +221,7 @@ def test_tile_forward_matches_render_tiles():
     assert float(n2) == pytest.approx(float(n), rel=2e-2)
 
 
+@pytest.mark.slow
 def test_tile_grads_sample_chunking():
     """Sample budgets beyond DIFF_SAMPLE_BUDGET accumulate over chunked
     custom_vjp chains; forcing a tiny budget must reproduce the
