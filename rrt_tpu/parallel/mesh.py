@@ -176,7 +176,13 @@ def render_image_tiles_sharded(scene: SceneArrays, camera: Camera,
         jnp.asarray(seed).dtype, jnp.integer) else seed
 
     from ..ops import megakernel as ops_mega
-    chains = tile_chains(cfg, scene)
+    # Cap chains so every dp-rank gets at least one REAL pixel block:
+    # tile-heavy scenes default to one-instance packing (up to 128
+    # chains), which on a mesh would hand rank 0 the whole image and
+    # the other ranks pure padding.
+    n_pix_cap = cfg.width * cfg.height
+    chains = min(tile_chains(cfg, scene),
+                 max(1, -(-n_pix_cap // (dp * ops_mega.TN))))
     block = chains * ops_mega.TN
     meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height, block)
     # Pad the meta column count to a multiple of dp*block with invalid
@@ -247,7 +253,11 @@ def trace_tiles_diff_sharded(scene: SceneArrays, camera: Camera,
     from ..render import DIFF_SAMPLE_BUDGET
     chunk = min(spp_local, DIFF_SAMPLE_BUDGET)
     if chains is None:
-        chains = tile_chains_diff(cfg, chunk)
+        # Same dp-aware cap as the forward: every rank must get real
+        # pixel blocks, not padding.
+        chains = min(tile_chains_diff(cfg, chunk),
+                     max(1, -(-(cfg.width * cfg.height)
+                              // (dp * ops_mega.TN))))
     block = chains * ops_mega.TN
     meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height, block)
     npad = meta.shape[1]

@@ -225,3 +225,28 @@ def test_check_vma_justification(monkeypatch):
     finally:
         monkeypatch.undo()
         importlib.reload(mesh_mod)
+
+
+def test_sharded_tiles_distribute_across_ranks(monkeypatch):
+    """Tile-heavy scenes default to one-instance packing (up to 128
+    chains) on a single device; on a mesh the sharded renderers must
+    cap chains so every dp-rank gets REAL pixel blocks, not padding.
+    Renders rttnw_final tiny on the virtual mesh (interpret kernels)
+    and checks it still matches the single-device tile render."""
+    monkeypatch.setenv("RRT_INTERPRET", "1")
+    from rrt_tpu.parallel.mesh import render_image_tiles_sharded
+    from rrt_tpu.render import render_image_tiles, tile_chains
+    from rrt_tpu.scenes import rttnw_final_scene
+
+    cfg = rrt_tpu.RenderConfig(width=48, height=27, spp=2, max_depth=3)
+    scene, cam = rttnw_final_scene(cfg.width, cfg.height)
+    # the single-device default would pack everything into <= 2 blocks
+    from rrt_tpu.ops import megakernel as mk
+    n_pix = cfg.width * cfg.height
+    single = tile_chains(cfg, scene)
+    assert -(-n_pix // (single * mk.TN)) < 8  # would starve dp=8
+    mesh = make_mesh(dp=8, sp=1)
+    img_s, n_s = render_image_tiles_sharded(scene, cam, cfg, 0, mesh)
+    img_1, n_1 = render_image_tiles(scene, cam, cfg, 0)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1),
+                               atol=2e-5, rtol=1e-4)
