@@ -14,7 +14,8 @@ from rrt_tpu.xoshiro import Xoshiro128Plus
 # Independently derived from the published algorithms (rand_core
 # seed_from_u64 = SplitMix64, Blackman & Vigna xoshiro128+, rand Standard
 # f32 = top-24-bits * 2^-24) by a standalone C implementation — NOT by
-# running rrt_tpu.xoshiro. Any perturbation of a constant in xoshiro.py
+# running rrt_tpu.xoshiro. The derivation program is committed at
+# tools/xoshiro_ref.c (gcc -O2 tools/xoshiro_ref.c && ./a.out). Any perturbation of a constant in xoshiro.py
 # fails these asserts. This pins the draw stream the reference consumes
 # via rand_xoshiro::Xoshiro128Plus::seed_from_u64(0)
 # (/root/reference/src/main.rs:65, src/rng.rs:14).
