@@ -110,7 +110,12 @@ def resolve_driver(driver: str, backend: str, scene,
     if driver in ("queue", "batch"):
         return driver
     from rrt_tpu.ops import megakernel as _mk
-    ok = (backend == "tpu" and _mk.supports(scene)
+    # TPU backend OR kernels_available() (which admits RRT_INTERPRET=1),
+    # matching render.py/mesh.py — so the interpret-mode CLI exercises
+    # the tile megakernel too instead of silently degrading to queue
+    # (ADVICE r3 low).
+    ok = ((backend == "tpu" or _mk.kernels_available())
+          and _mk.supports(scene)
           and (use_megakernel or driver == "tile"))
     return "tile" if ok else "queue"
 

@@ -196,12 +196,14 @@ def intersect_boxes(scene: SceneArrays, o: V3, d: V3, t_min, t_max):
         # Closed-form slab interval, rounding-identical to the
         # megakernel's (ops/megakernel.py box tiles): min/max(t1,t2) =
         # -ob*inv -/+ hk*|inv|; near-parallel axes substitute
-        # inv = 1e30, landing the interval at +/-huge with the correct
-        # emptiness. Keeping the two paths' fp rounding aligned keeps
-        # near-tie face decisions identical (tile-vs-scan grad tests
-        # compare them allclose).
+        # inv = 1e18 (>> any real 1/db past the 1e-12 cutoff, but small
+        # enough that ob*inv stays finite — 1e30 overflowed past
+        # |ob| ~ 3.4e8, ADVICE r3), landing the interval at +/-huge with
+        # the correct emptiness. Keeping the two paths' fp rounding
+        # aligned keeps near-tie face decisions identical (tile-vs-scan
+        # grad tests compare them allclose).
         par = jnp.abs(db) <= 1e-12
-        inv_db = jnp.where(par, 1e30,
+        inv_db = jnp.where(par, 1e18,
                            _safe_div(jnp.ones_like(db), db, eps=1e-12))
         a_t = ob * inv_db
         b_t = hk * jnp.abs(inv_db)

@@ -192,9 +192,13 @@ def pack_spheres_full(scene: SceneArrays):
     vel = scene.sphere_inv_dt[:, None] * scene.sphere_dc
     # Invalid slots pack r2 = -1 so their discriminant is strictly
     # negative for every ray (c_coef = |o-c|^2 + 1 > 0): the kernel's
-    # candidate test then needs no separate valid load/and. (Zero-padded
-    # tail slots are equally safe: a radius-0 sphere at the origin has
-    # disc = (o.d)^2 - |d|^2|o|^2 <= 0 by Cauchy-Schwarz.)
+    # candidate test then needs no separate valid load/and. Tail columns
+    # from the family-size pad below get the same r2 = -1 treatment: a
+    # zero-padded slot (r2 = 0, center at the origin) only has
+    # disc <= 0 by Cauchy-Schwarz in EXACT arithmetic — f32 cancellation
+    # in half_b^2 - a*c_coef can flip disc positive for rays nearly
+    # collinear with the origin, producing phantom hits shaded from
+    # all-zero material rows (ADVICE r3 medium).
     r2 = jnp.where(scene.sphere_valid, scene.sphere_radius ** 2, -1.0)
     mtype, aux, c1, c2, textype, texscale = _mat_rows(scene,
                                                       scene.sphere_mat)
@@ -211,6 +215,7 @@ def pack_spheres_full(scene: SceneArrays):
     target = _fam_target(s)
     if target != s:
         mat = jnp.pad(mat, ((0, 0), (0, target - s)))
+        mat = mat.at[3, s:].set(-1.0)  # r2 row: strict-negative margin
     return mat
 
 
@@ -900,7 +905,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                                    (obz, dbz, col[5:6])):
                     # Closed-form slab interval (see the tile path).
                     par = jnp.abs(db) <= 1e-12
-                    inv_db = jnp.where(par, 1e30, 1.0 / jnp.where(
+                    inv_db = jnp.where(par, 1e18, 1.0 / jnp.where(
                         par, 1.0, db))
                     a_t = ob * inv_db
                     b_t = hk * jnp.abs(inv_db)
@@ -947,14 +952,18 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                     # Closed-form slab interval: min/max(t1,t2) =
                     # -ob*inv -/+ hk*|inv| (hk >= 0), valid for either
                     # sign of db. Near-parallel axes substitute
-                    # inv = 1e30, which lands the interval at +/-huge
+                    # inv = 1e18, which lands the interval at +/-huge
                     # with the CORRECT emptiness: |ob| < hk ->
                     # (-huge, +huge) non-constraining; ob > hk -> both
                     # ends -huge (empty via hi); ob < -hk -> both +huge
                     # (empty via lo). Replaces the per-axis inside/big
-                    # selects (~6 fewer (TS,TN) ops per axis).
+                    # selects (~6 fewer (TS,TN) ops per axis). 1e18 is
+                    # still >> any real 1/db past the 1e-12 cutoff while
+                    # keeping ob*inv finite up to |ob| ~ 3.4e20 — the
+                    # old 1e30 overflowed to inf past |ob| ~ 3.4e8 and
+                    # inf-inf = NaN could poison the interval (ADVICE r3).
                     par = jnp.abs(db) <= 1e-12
-                    inv_db = jnp.where(par, 1e30, 1.0 / jnp.where(
+                    inv_db = jnp.where(par, 1e18, 1.0 / jnp.where(
                         par, 1.0, db))
                     a_t = ob * inv_db
                     b_t = hk * jnp.abs(inv_db)

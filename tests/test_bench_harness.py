@@ -1,0 +1,124 @@
+"""bench.py fault-tolerance tests (VERDICT r3 #1).
+
+Round 3's official benchmark record was lost to ONE transient tunnel
+error (`BENCH_r03.json` rc=1, parsed=null) even though the numbers were
+reproducible. The harness must absorb transient faults (bounded retry)
+and, on any terminal failure, still emit a parseable JSON line carrying
+every field measured so far. The reference bar: criterion never loses a
+run to one flaky iteration (/root/reference/benches/benchmark.rs:38-42).
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+
+
+@pytest.fixture()
+def bench():
+    spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class FakeJaxRuntimeError(Exception):
+    pass
+
+
+FakeJaxRuntimeError.__name__ = "JaxRuntimeError"
+
+
+def test_transient_fault_is_retried(bench, monkeypatch):
+    """A one-shot JaxRuntimeError inside a phase must be retried and the
+    phase's result kept — the exact failure mode that cost round 3 its
+    official record."""
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    rec = bench.Recorder()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FakeJaxRuntimeError(
+                "INTERNAL: http://127.0.0.1:8113/remote_compile: read "
+                "body: response body closed before all bytes were read")
+        rec.detail["fwd_mrays_per_s"] = 92.1
+        return 42
+
+    assert rec.phase("forward_tile", flaky) == 42
+    assert calls["n"] == 2
+    assert rec.errors == {}
+    assert rec.detail["fwd_mrays_per_s"] == 92.1
+
+
+def test_terminal_failure_still_emits_parseable_json(bench, monkeypatch,
+                                                     capsys):
+    """A phase that fails every attempt is recorded in `errors`, other
+    phases' fields survive, and emit() prints one parseable JSON line
+    with the headline fields present."""
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    rec = bench.Recorder()
+    rec.detail["fwd_mrays_per_s"] = 92.1
+    rec.detail["fwd_s_median"] = 0.35
+
+    def always_fails():
+        raise FakeJaxRuntimeError("UNAVAILABLE: TPU device error")
+
+    assert rec.phase("backward_chain", always_fails) is None
+    assert "backward_chain" in rec.errors
+    capsys.readouterr()  # drop the traceback logging
+
+    rec.emit(88.5, 6.86, "fwd+bwd Mrays/s/chip (chap12 1200x800)")
+    out = capsys.readouterr().out.strip()
+    parsed = json.loads(out)
+    assert parsed["value"] == 88.5
+    assert parsed["vs_baseline"] == 6.86
+    assert parsed["unit"] == "Mrays/s"
+    assert parsed["detail"]["fwd_mrays_per_s"] == 92.1
+    assert "UNAVAILABLE" in parsed["errors"]["backward_chain"]
+
+
+def test_emit_with_no_headline_is_still_parseable(bench, capsys):
+    """Even a fully failed run emits JSON (value null), never a bare
+    traceback exit — rc=0 with a partial record beats parsed: null."""
+    rec = bench.Recorder()
+    rec.errors["scene_build"] = "JaxRuntimeError: boom"
+    rec.emit(None, None, "fwd+bwd Mrays/s/chip (chap12 1200x800)")
+    parsed = json.loads(capsys.readouterr().out.strip())
+    assert parsed["value"] is None
+    assert parsed["errors"]["scene_build"].startswith("JaxRuntimeError")
+
+
+def test_non_transient_failure_not_retried(bench, monkeypatch):
+    """Programming errors (TypeError etc. with no transient markers) must
+    not be retried — retrying can't fix them and burns bench wall."""
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    rec = bench.Recorder()
+    calls = {"n": 0}
+
+    def broken():
+        calls["n"] += 1
+        raise TypeError("unsupported operand")
+
+    assert rec.phase("train_tile", broken) is None
+    assert calls["n"] == 1
+    assert "train_tile" in rec.errors
+
+
+def test_transient_classifier():
+    """The transient classifier covers the observed tunnel failure modes
+    without swallowing everything."""
+    spec = importlib.util.spec_from_file_location("bench_mod2", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._is_transient(ConnectionResetError("peer reset"))
+    assert mod._is_transient(RuntimeError(
+        "INTERNAL: remote_compile: read body"))
+    assert mod._is_transient(RuntimeError("UNAVAILABLE: TPU device error"))
+    assert not mod._is_transient(TypeError("bad arg"))
+    assert not mod._is_transient(ValueError("shape mismatch"))

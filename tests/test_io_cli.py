@@ -84,7 +84,7 @@ def test_cli_unknown_scene():
     assert "unknown scene" in r.stderr
 
 
-def test_driver_auto_selection():
+def test_driver_auto_selection(monkeypatch):
     """`auto` (the CLI default) resolves to the tile megakernel on TPU
     for kernel-supported scenes and to queue otherwise (VERDICT r2 #4:
     the fast path must be the default)."""
@@ -94,8 +94,14 @@ def test_driver_auto_selection():
     assert build_parser().parse_args([]).driver == "auto"
 
     scene, _ = diffuse_scene(16, 9)
+    monkeypatch.delenv("RRT_INTERPRET", raising=False)
     assert resolve_driver("auto", "tpu", scene) == "tile"
     assert resolve_driver("auto", "cpu", scene) == "queue"
+    # Interpret mode admits the tile kernel off-TPU (ADVICE r3): the
+    # CLI's auto path must match render.py's kernels_available() gate.
+    monkeypatch.setenv("RRT_INTERPRET", "1")
+    assert resolve_driver("auto", "cpu", scene) == "tile"
+    monkeypatch.delenv("RRT_INTERPRET", raising=False)
     # explicit requests are honored (tile degrades off-TPU)
     assert resolve_driver("queue", "tpu", scene) == "queue"
     assert resolve_driver("batch", "tpu", scene) == "batch"

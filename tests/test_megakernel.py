@@ -460,3 +460,41 @@ def test_aabb_far_pad_grazing_rays():
     padded_cull = true_hit & ~(tn <= tf * f32(fp.AABB_T_FAR_PAD))
     assert unpadded_cull.sum() > 1000  # the pad is load-bearing
     assert padded_cull.sum() == 0
+
+
+def test_sphere_pack_tail_columns_strictly_invalid():
+    """Family-size padding must pack r2 = -1 in the tail columns, not 0:
+    a zero-padded slot (radius-0 sphere at the world origin) has
+    disc <= 0 only in exact arithmetic — f32 cancellation in
+    half_b^2 - a*c can flip disc positive for rays nearly collinear
+    with the origin, yielding phantom hits shaded from all-zero
+    material rows (ADVICE r3 medium). The pad branch fires when the
+    scene's 128-padded count is not a TS multiple: 260 spheres pad to
+    384 rows in SceneArrays, then to the 512-wide family target here."""
+    from rrt_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    rg = np.random.default_rng(7)
+    grey = b.lambertian((0.5, 0.5, 0.5))
+    for i in range(260):
+        b.sphere(rg.uniform(-50, 50, 3), 0.5, grey)
+    scene = b.build()
+    s = scene.sphere_radius.shape[0]
+    mat = np.asarray(mk.pack_spheres_full(scene))
+    assert mat.shape[1] > s  # the jnp.pad tail is actually present
+    # every invalid slot (declared or pad) carries the -1 margin
+    valid = np.asarray(scene.sphere_valid)
+    assert (mat[3, :s][~valid] == -1.0).all()
+    assert (mat[3, s:] == -1.0).all()
+    # and the margin survives the kernel's candidate test for a grazing
+    # ray exactly collinear with the origin: with r2=0 the f32 disc
+    # cancels to exactly 0 (a phantom t=0-ish hit window), with r2=-1 it
+    # stays strictly negative as long as |o|^2 < 2^23 (f32 spacing < 1,
+    # i.e. coordinates within ~2900 units — ample for the books' scenes).
+    half_b = np.float32(-2000.0)  # o=(2000,0,0), d=(-1,0,0)
+    a = np.float32(1.0)
+    o_sq = np.float32(4e6)
+    disc_zero = half_b * half_b - a * (o_sq - np.float32(0.0))
+    disc_pad = half_b * half_b - a * (o_sq - mat[3, -1])
+    assert disc_zero >= 0  # r2=0 padding admits the degenerate window
+    assert disc_pad < 0  # r2=-1 padding keeps the strict margin

@@ -255,13 +255,18 @@ def test_tile_grads_sample_chunking():
     assert total > 0.0
 
 
-def test_make_train_step_chunked_matches_oneshot():
+def test_make_train_step_chunked_matches_oneshot(monkeypatch):
     """make_train_step_chunked (forward chunks -> image cotangent ->
     per-chunk backward vjp, the north-star big-spp trainer) must
     reproduce make_train_step's one-shot update: radiance is linear in
-    per-chunk sums, so the factored cotangent gradient is exact."""
+    per-chunk sums, so the factored cotangent gradient is exact.
+    RRT_INTERPRET=1 so the chunked trainer's fused route actually runs
+    on CPU CI — without it, kernels_available() falls the chunked step
+    back to the very one-shot step it is compared against (ADVICE r3)."""
     from rrt_tpu.diff import make_train_step, make_train_step_chunked
     from rrt_tpu.scenes import chap11_scene
+
+    monkeypatch.setenv("RRT_INTERPRET", "1")
 
     cfg = RenderConfig(width=16, height=8, spp=4, max_depth=3)
     scene, cam = chap11_scene(cfg.width, cfg.height)
@@ -300,3 +305,41 @@ def test_train_step_big_spp_falls_back_off_kernel(monkeypatch):
     s2, c2, loss = step(scene, cam, target, 0)
     jax.block_until_ready(loss)
     assert np.isfinite(float(loss))
+
+
+def test_diff_fallback_warns_with_reason(monkeypatch, caplog):
+    """Silent 40x gradient-scope cliffs (VERDICT r3 weak #7): routing
+    render_image_diff / the chunked trainer to the XLA scan path must
+    log one warning naming the reason, deduped per process."""
+    import logging
+
+    import rrt_tpu.render as rrender
+    from rrt_tpu.scenes import diffuse_scene
+
+    monkeypatch.delenv("RRT_INTERPRET", raising=False)
+    monkeypatch.setattr(rrender, "_warned_fallbacks", set())
+    scene, cam = diffuse_scene(8, 4)
+    cfg = RenderConfig(width=8, height=4, spp=2, max_depth=2,
+                       tile_pixels=32, samples_per_pass=2)
+
+    # reason classification
+    assert "Pallas" in rrender.diff_fallback_reason(scene, cfg)
+    monkeypatch.setenv("RRT_INTERPRET", "1")
+    assert rrender.diff_fallback_reason(scene, cfg) is None
+    cfg_off = dataclasses.replace(cfg, use_megakernel=False)
+    assert "use_megakernel" in rrender.diff_fallback_reason(scene,
+                                                            cfg_off)
+    many = dataclasses.replace(scene, n_media_active=5)
+    assert "4-slot" in rrender.diff_fallback_reason(many, cfg)
+    imgmed = dataclasses.replace(scene, has_images_on_media=True)
+    assert "medium" in rrender.diff_fallback_reason(imgmed, cfg)
+    monkeypatch.delenv("RRT_INTERPRET", raising=False)
+
+    # the warning fires once (deduped) and names the site + reason
+    with caplog.at_level(logging.WARNING, logger="rrt_tpu.render"):
+        rrender.render_image_diff(scene, cam, cfg, 0)
+        rrender.render_image_diff(scene, cam, cfg, 0)
+    msgs = [r.message for r in caplog.records
+            if "render_image_diff" in r.message]
+    assert len(msgs) == 1
+    assert "40x" in msgs[0] and "Pallas" in msgs[0]
