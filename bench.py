@@ -48,19 +48,13 @@ FAST_WALL_S = 0.5
 MAX_ATTEMPTS = 3  # bounded retry per phase on transient runtime faults
 
 
-def _is_transient(exc: BaseException) -> bool:
-    """Failure classes worth retrying: the axon tunnel surfaces transient
-    HTTP/stream faults as JaxRuntimeError (BENCH_r03: "response body
-    closed before all bytes were read") and occasionally as OSError."""
-    name = type(exc).__name__
-    if name in ("JaxRuntimeError", "XlaRuntimeError"):
-        return True
-    if isinstance(exc, (OSError, ConnectionError)):
-        return True
-    msg = str(exc).lower()
-    return any(s in msg for s in ("remote_compile", "connection",
-                                  "response body", "unavailable",
-                                  "deadline exceeded"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from rrt_tpu.utils.retry import is_transient as _is_transient  # noqa: E402
+# Failure classes worth retrying: the axon tunnel surfaces transient
+# HTTP/stream faults as JaxRuntimeError (BENCH_r03: "response body closed
+# before all bytes were read") and occasionally as OSError. The
+# classifier lives in rrt_tpu.utils.retry, shared with the multi-chip
+# dry run and long CLI renders.
 
 
 class Recorder:

@@ -11,6 +11,7 @@ updated. Per-(pixel, sample) keyed RNG makes resume exact.
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -274,6 +275,12 @@ def main(argv=None):
         chunk = min(32, spp)
     else:
         chunk = args.spp_chunk if args.spp_chunk > 0 else spp
+        if chunk > 32:
+            # One launch = no progress until it returns (the reference
+            # shows a 1 Hz bar, src/main.rs:78-94; a single Pallas
+            # launch can't callback) — say so instead of going silent.
+            log(f"rendering all {spp} spp in one launch; no progress "
+                f"until it completes (use --spp-chunk for updates)")
     if args.driver == "batch":
         spc = cfg.samples_per_pass
         if spp % spc:
@@ -337,6 +344,13 @@ def main(argv=None):
                                 {"scene": args.scene, "width": width,
                                  "height": height,
                                  "max_depth": args.max_depth})
+        # Fault-injection hook (SURVEY §5.3): RRT_FAULT_AFTER_CHUNKS=N
+        # hard-kills the process after N chunks, simulating a mid-render
+        # crash. Recovery = restart with the same --checkpoint; the
+        # counter-keyed RNG guarantees a bit-identical final image
+        # (tests/test_io_cli.py::test_cli_crash_recovery_bit_exact).
+        if passes == int(os.environ.get("RRT_FAULT_AFTER_CHUNKS", 0)):
+            os._exit(17)
 
     if args.profile:
         jax.profiler.stop_trace()
