@@ -71,6 +71,14 @@ def build_parser():
                    help="checkpoint every N progressive passes")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--texture", default=None, metavar="PATH",
+                   help="image file for the scene's image texture "
+                   "(earth / rttnw_final; e.g. the book's earthmap.jpg)."
+                   " PPM decoded natively, other formats via PIL")
+    p.add_argument("--texture-filter", choices=("nearest", "bilinear"),
+                   default="nearest",
+                   help="atlas resampling for --texture (default "
+                   "nearest; bilinear smooths photos on a small atlas)")
     p.add_argument("--quiet", action="store_true")
     # Multi-host launch surface (VERDICT r2 missing #3). One process per
     # host; every process runs the SAME command with its own
@@ -213,8 +221,26 @@ def main(argv=None):
         f"depth={args.max_depth} driver={args.driver} "
         f"backend={jax.default_backend()}")
 
+    build_kwargs = {}
+    if args.texture:
+        import inspect
+        if "image" not in inspect.signature(
+                SCENES[args.scene]).parameters:
+            print(f"scene {args.scene!r} has no image texture; --texture"
+                  " applies to: " + ", ".join(sorted(
+                      n for n, fn in SCENES.items()
+                      if "image" in inspect.signature(fn).parameters)),
+                  file=sys.stderr)
+            return 2
+        build_kwargs["image"] = rio.read_image(args.texture)
+        build_kwargs["image_resample"] = args.texture_filter
+        log(f"texture {args.texture}: "
+            f"{build_kwargs['image'].shape[0]}x"
+            f"{build_kwargs['image'].shape[1]} "
+            f"({args.texture_filter} atlas fit)")
+
     t0 = time.time()
-    scene, camera = SCENES[args.scene](width, height)
+    scene, camera = SCENES[args.scene](width, height, **build_kwargs)
     log(f"scene built in {time.time() - t0:.2f}s "
         f"({scene.n_spheres} sphere slots, {scene.n_quads} quad slots, "
         f"{scene.n_boxes if scene.has_boxes else 0} box slots)")

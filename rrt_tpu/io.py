@@ -46,6 +46,33 @@ def write_image(path: str, rgb8: np.ndarray) -> None:
         write_ppm(path, rgb8)
 
 
+def read_image(path: str) -> np.ndarray:
+    """Load an image file as (h, w, 3) float32 in [0, 1] — the input
+    format of SceneBuilder.image / the scene builders' `image=` kwarg
+    (the reference bundles no loader either; RTTNW's earthmap.jpg is
+    read by stb_image in the book's C++). PPM (P6) is decoded natively;
+    everything else goes through PIL when available."""
+    if path.endswith(".ppm"):
+        with open(path, "rb") as f:
+            data = f.read()
+        # P6 header: magic, whitespace-separated w h maxval, raster.
+        parts = data.split(maxsplit=4)
+        if parts[0] != b"P6":
+            raise ValueError(f"{path}: only binary PPM (P6) supported")
+        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        raster = parts[4][:w * h * 3]
+        img = np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+        return img.astype(np.float32) / float(maxval)
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is baked in
+        raise ValueError(
+            f"{path}: non-PPM textures need PIL (pip install pillow)"
+        ) from e
+    img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return img.astype(np.float32) / 255.0
+
+
 def save_checkpoint(path: str, radiance_sum: np.ndarray, spp_done: int,
                     seed: int, meta: dict | None = None) -> None:
     """Persist the float radiance accumulator (sum over samples) plus the

@@ -317,7 +317,14 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                       n_bounds, s_tiles, q_tiles, b_tiles, moving,
                       has_quads, has_boxes, has_rot_boxes, has_perlin,
                       has_images, img_ah, img_aw, n_media, t_min,
-                      max_depth, cull_s, cull_q, cull_b, fam_n=None):
+                      max_depth, cull_s, cull_q, cull_b, fam_n=None,
+                      ablate=None):
+    # `ablate` is a MEASUREMENT-ONLY knob (benchmarks/bwd_profile.py,
+    # VERDICT r3 #3): "replay" stops after the segment replay loops,
+    # "rederive" adds the reverse sweep's aux re-derivation but skips
+    # the jax.vjp transpose + pack scatters. Both produce garbage
+    # gradients (a tiny anti-DCE accumulation keeps the loops live);
+    # production (tile_train_chain) always passes None.
     @pl.when(pl.program_id(0) == 0)
     def _():
         dsph_ref[:, :] = jnp.zeros(dsph_ref.shape, jnp.float32)
@@ -399,6 +406,12 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
         rc0 = _unpack_carry(bblk)
         jax.lax.fori_loop(0, nk, rep, rc0)
 
+        if ablate == "replay":
+            # Consume the replayed scratch so Mosaic keeps the loop.
+            blk0 = steps_ref[pl.ds(0, CROWS), :]
+            return (carry[0] + blk0[0:1] * jnp.float32(1e-30),) \
+                + carry[1:]
+
         # --- reverse sweep over the segment's steps --------------------
         def rev(j, dc):
             k = nk - 1 - j
@@ -412,6 +425,13 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                                         want_aux=True, **bk)
             _, fl = _advance(rows_f, rows2, sample, chain, pxr, pyr,
                              gidf, k0, k1, **adv_kw)
+
+            if ablate == "rederive":
+                # Consume the re-derived winner block + advance flags so
+                # the sweep isn't dead, then skip the vjp transpose.
+                probe = (aux["sel_s"][0:1] + aux["t_hit"]
+                         + fl["finf"]) * jnp.float32(1e-30)
+                return (dc[0] + probe,) + dc[1:]
 
             sel_s = aux["sel_s"]
             sel_q = aux["sel_q"]
@@ -639,6 +659,17 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
         b_tiles=b_tiles, cull_s=cull_s, cull_q=cull_q,
         cull_b=cull_b, **flags)
     n_lanes = npad // chains
+    with jax.named_scope("mkt_fwd_spill"):
+        return _fwd_launch(kern, meta, seed2, cam24, sph24, quad24,
+                           box24, med24, bg8, atlas, sb, qb, bb,
+                           npad=npad, block=block, s_count=s_count,
+                           q_count=q_count, b_count=b_count,
+                           n_bounds=n_bounds, n_lanes=n_lanes, spp=spp)
+
+
+def _fwd_launch(kern, meta, seed2, cam24, sph24, quad24, box24, med24,
+                bg8, atlas, sb, qb, bb, *, npad, block, s_count,
+                q_count, b_count, n_bounds, n_lanes, spp):
     out, bounds = mk.pallas_call(
         kern,
         grid=(npad // block,),
@@ -686,7 +717,7 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
 
 def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
               med24, bg8, atlas, sb, qb, bb, bounds, *, spp, chains,
-              **flags):
+              ablate=None, **flags):
     npad = meta.shape[1]
     block = chains * TN
     s_count = sph24.shape[1]
@@ -706,11 +737,25 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
         _train_bwd_kernel, spp=spp, chains=chains, seg_k=seg_k,
         n_bounds=n_bounds, s_tiles=s_tiles,
         q_tiles=q_tiles, b_tiles=b_tiles, cull_s=cull_s,
-        cull_q=cull_q, cull_b=cull_b, **flags)
+        cull_q=cull_q, cull_b=cull_b, ablate=ablate, **flags)
 
     md = max(1, flags["n_media"])
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
+    with jax.named_scope("mkt_bwd_replay_adjoint"):
+        outs = _bwd_launch(
+            kern, meta, drad, nsteps, seed2, cam24, sph24, quad24,
+            box24, med24, bg8, atlas, sb, qb, bb, bounds, acc=acc,
+            npad=npad, block=block, s_count=s_count, q_count=q_count,
+            b_count=b_count, n_bounds=n_bounds, seg_k=seg_k, md=md,
+            spp=spp, chains=chains)
+    return outs
+
+
+def _bwd_launch(kern, meta, drad, nsteps, seed2, cam24, sph24, quad24,
+                box24, med24, bg8, atlas, sb, qb, bb, bounds, *, acc,
+                npad, block, s_count, q_count, b_count, n_bounds, seg_k,
+                md, spp, chains):
     outs = mk.pallas_call(
         kern,
         grid=(npad // block,),

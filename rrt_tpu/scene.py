@@ -209,7 +209,7 @@ class SceneBuilder:
         self._media = []  # (btype, center, radius, half, rot, nid, mat_id)
         self._materials = []  # (type, tex_id, fuzz, ior)
         self._textures = []  # (type, c1, c2, scale, image_idx)
-        self._images = []  # list of np (h,w,3) float arrays
+        self._images = []  # list of (np (h,w,3) float array, resample)
         self.bg_mode = BG_SKY
         self.bg_bottom = (1.0, 1.0, 1.0)
         self.bg_top = (0.5, 0.7, 1.0)
@@ -232,9 +232,18 @@ class SceneBuilder:
     def perlin(self, scale: float = 1.0) -> int:
         return self._add_texture(TEX_PERLIN, c1=(1, 1, 1), scale=scale)
 
-    def image(self, pixels: np.ndarray) -> int:
-        """pixels: (h,w,3) float in [0,1]."""
-        self._images.append(np.asarray(pixels, dtype=np.float32))
+    def image(self, pixels: np.ndarray, resample: str = "nearest") -> int:
+        """pixels: (h,w,3) float in [0,1]. `resample` picks how the image
+        is fitted onto the shared atlas grid at build time when its
+        dimensions differ from the atlas': "nearest" (default, preserves
+        exact texel values — what the golden oracle samples) or
+        "bilinear" (smoother for real photographs downsampled onto a
+        small atlas)."""
+        if resample not in ("nearest", "bilinear"):
+            raise ValueError(f"resample must be nearest|bilinear, "
+                             f"got {resample!r}")
+        self._images.append((np.asarray(pixels, dtype=np.float32),
+                             resample))
         return self._add_texture(TEX_IMAGE, image_idx=len(self._images) - 1)
 
     def _as_tex(self, color_or_tex) -> int:
@@ -500,16 +509,36 @@ class SceneBuilder:
         tex_image = np.array([t[4] for t in self._textures], i32)
 
         if self._images:
-            ah = max(im.shape[0] for im in self._images)
-            aw = max(im.shape[1] for im in self._images)
+            ah = max(im.shape[0] for im, _ in self._images)
+            aw = max(im.shape[1] for im, _ in self._images)
             images = np.zeros((len(self._images), ah, aw, 3), f32)
-            for i, im in enumerate(self._images):
-                # Resample onto the atlas grid with nearest-neighbor so uv
-                # lookups need no per-image shape metadata on device.
+            for i, (im, resample) in enumerate(self._images):
+                # Resample onto the atlas grid so uv lookups need no
+                # per-image shape metadata on device. Nearest preserves
+                # exact texel values; bilinear smooths real photographs.
                 h, w = im.shape[:2]
-                yi = (np.arange(ah) * h // ah).clip(0, h - 1)
-                xi = (np.arange(aw) * w // aw).clip(0, w - 1)
-                images[i] = im[yi[:, None], xi[None, :]]
+                if resample == "bilinear" and (h, w) != (ah, aw):
+                    yf = (np.arange(ah, dtype=np.float64) + 0.5) \
+                        * h / ah - 0.5
+                    xf = (np.arange(aw, dtype=np.float64) + 0.5) \
+                        * w / aw - 0.5
+                    y0 = np.clip(np.floor(yf).astype(np.int64), 0, h - 1)
+                    x0 = np.clip(np.floor(xf).astype(np.int64), 0, w - 1)
+                    y1 = np.minimum(y0 + 1, h - 1)
+                    x1 = np.minimum(x0 + 1, w - 1)
+                    ty = np.clip(yf - y0, 0.0, 1.0).astype(
+                        f32)[:, None, None]
+                    tx = np.clip(xf - x0, 0.0, 1.0).astype(
+                        f32)[None, :, None]
+                    top = (im[y0[:, None], x0[None, :]] * (1 - tx)
+                           + im[y0[:, None], x1[None, :]] * tx)
+                    bot = (im[y1[:, None], x0[None, :]] * (1 - tx)
+                           + im[y1[:, None], x1[None, :]] * tx)
+                    images[i] = top * (1 - ty) + bot * ty
+                else:
+                    yi = (np.arange(ah) * h // ah).clip(0, h - 1)
+                    xi = (np.arange(aw) * w // aw).clip(0, w - 1)
+                    images[i] = im[yi[:, None], xi[None, :]]
         else:
             images = np.zeros((1, 1, 1, 3), f32)
 

@@ -94,10 +94,14 @@ def _default_earth_image() -> np.ndarray:
     return img
 
 
-def earth_scene(nx: int, ny: int, image: np.ndarray | None = None):
-    """A single image-textured sphere (RTTNW ch. 6)."""
+def earth_scene(nx: int, ny: int, image: np.ndarray | None = None,
+                image_resample: str = "nearest"):
+    """A single image-textured sphere (RTTNW ch. 6). `image` replaces
+    the procedural stand-in with a real (h,w,3) float [0,1] array (CLI:
+    --texture earthmap.jpg); `image_resample` picks the atlas fit."""
     b = SceneBuilder()
-    tex = b.image(_default_earth_image() if image is None else image)
+    tex = b.image(_default_earth_image() if image is None else image,
+                  resample=image_resample)
     b.sphere((0.0, 0.0, 0.0), 2.0, b.lambertian(tex))
     cam = Camera.create(look_from=(13.0, 2.0, 3.0), look_at=(0.0, 0.0, 0.0),
                         fov_deg=20.0, aspect=nx / ny)
@@ -106,7 +110,8 @@ def earth_scene(nx: int, ny: int, image: np.ndarray | None = None):
 
 def rttnw_final_scene(nx: int, ny: int, seed: int = 0,
                       image: np.ndarray | None = None,
-                      ablate: frozenset = frozenset()):
+                      ablate: frozenset = frozenset(),
+                      image_resample: str = "nearest"):
     """RTTNW ch. 10 final scene: ground of random-height boxes, quad light,
     motion blur, glass/metal/subsurface spheres, earth and perlin textures,
     global fog, and a rotated-translated cloud of 1000 spheres.
@@ -150,7 +155,8 @@ def rttnw_final_scene(nx: int, ny: int, seed: int = 0,
 
     earth_tex = (b.lambertian((0.4, 0.3, 0.2)) if "earth" in ablate
                  else b.lambertian(b.image(
-                     _default_earth_image() if image is None else image)))
+                     _default_earth_image() if image is None else image,
+                     resample=image_resample)))
     b.sphere((400.0, 200.0, 400.0), 100.0, earth_tex)
     per_tex = (b.lambertian((0.5, 0.5, 0.5)) if "perlin" in ablate
                else b.lambertian(b.perlin(scale=0.1)))

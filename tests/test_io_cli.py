@@ -74,6 +74,70 @@ def test_cli_renders_and_resumes(tmp_path):
     assert open(out, "rb").read() == img_full
 
 
+def test_read_image_png_roundtrip(tmp_path):
+    """read_image must invert write_png (via PIL) exactly."""
+    rg = np.random.default_rng(11)
+    img8 = rg.integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    rio.write_png(p, img8)
+    loaded = rio.read_image(p)
+    np.testing.assert_allclose(loaded, img8.astype(np.float32) / 255.0)
+
+
+def test_cli_texture_flag(tmp_path):
+    """--texture PATH mounts a file-loaded image on the earth sphere
+    (VERDICT r3 #9): the render must succeed and differ from the
+    procedural stand-in; a textureless scene must reject the flag."""
+    rg = np.random.default_rng(5)
+    img8 = rg.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    tex = str(tmp_path / "tex.ppm")
+    rio.write_ppm(tex, img8)
+
+    out_d = str(tmp_path / "default.png")
+    out_t = str(tmp_path / "textured.png")
+    common = ("--scene", "earth", "-r", "24x14", "-s", "2",
+              "--max-depth", "4")
+    r = _run_cli(*common, "-o", out_d)
+    assert r.returncode == 0, r.stderr
+    r = _run_cli(*common, "-o", out_t, "--texture", tex,
+                 "--texture-filter", "bilinear")
+    assert r.returncode == 0, r.stderr
+    assert "texture " in r.stderr
+    assert open(out_d, "rb").read() != open(out_t, "rb").read()
+
+    r = _run_cli("--scene", "cornell", "-r", "8x8", "-s", "1",
+                 "--texture", tex)
+    assert r.returncode == 2
+    assert "no image texture" in r.stderr
+
+
+def test_builder_bilinear_atlas_resample():
+    """When images of different sizes share one atlas, bilinear
+    resampling interpolates a ramp exactly while nearest snaps it."""
+    from rrt_tpu.scene import SceneBuilder
+
+    ramp = np.zeros((2, 2, 3), np.float32)
+    ramp[:, 1] = 1.0  # horizontal 0 -> 1 ramp
+    big = np.zeros((4, 4, 3), np.float32)  # forces a 4x4 atlas
+
+    def build(resample):
+        b = SceneBuilder()
+        m1 = b.lambertian(b.image(ramp, resample=resample))
+        m2 = b.lambertian(b.image(big))
+        b.sphere((0, 0, 0), 1.0, m1)
+        b.sphere((3, 0, 0), 1.0, m2)
+        return np.asarray(b.build().images[0])
+
+    near = build("nearest")
+    bil = build("bilinear")
+    # nearest: texel duplication, only 0s and 1s
+    assert set(np.unique(near[..., 0])) <= {0.0, 1.0}
+    # bilinear: atlas x-centers 0.125..0.875 map into the ramp's
+    # [−0.5, 1.5] texel space -> 0, 0.25, 0.75, 1 per row
+    np.testing.assert_allclose(bil[0, :, 0], [0.0, 0.25, 0.75, 1.0],
+                               atol=1e-6)
+
+
 def test_cli_crash_recovery_bit_exact(tmp_path):
     """Fault injection + recovery (SURVEY §5.3, VERDICT r3 #6): a render
     killed mid-run (hard os._exit after 2 of 4 chunks, past >=1 saved
