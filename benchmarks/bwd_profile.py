@@ -92,14 +92,15 @@ def main():
     nsteps = out[4].reshape(-1, block)[:, 0].astype(jnp.int32)[None]
     drad = jnp.ones((4, meta.shape[1]), jnp.float32) * 1e-3
 
-    def bwd_fn(ablate):
+    def bwd_fn(ablate, aux_spill=False):
         @jax.jit
         def f(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
               med24, bg8, atlas, sb, qb, bb, bounds):
             return mkt._bwd_call(
                 meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
                 med24, bg8, atlas, sb, qb, bb, bounds, spp=n_samples,
-                chains=chains, ablate=ablate, **flags)
+                chains=chains, ablate=ablate, aux_spill=aux_spill,
+                **flags)
         return lambda: f(meta, drad, nsteps, seed2, cam24, sph24,
                          quad24, box24, med24, bg8, atlas, sb, qb, bb,
                          bounds)
@@ -129,6 +130,9 @@ def main():
     res["bwd_replay_s"] = timed(bwd_fn("replay"))
     res["bwd_rederive_s"] = timed(bwd_fn("rederive"))
     res["bwd_full_s"] = timed(bwd_fn(None))
+    res["bwd_full_aux_spill_s"] = timed(bwd_fn(None, aux_spill=True))
+    res["bwd_replay_aux_spill_s"] = timed(bwd_fn("replay",
+                                                 aux_spill=True))
 
     fwd = res["fwd_s"][0]
     rep = res["bwd_replay_s"][0]
@@ -144,6 +148,10 @@ def main():
             "rederive_delta": round((red - rep) / fwd, 3),
             "transpose_delta": round((ful - red) / fwd, 3),
             "bwd_total": round(ful / fwd, 3),
+            "bwd_total_aux_spill": round(
+                res["bwd_full_aux_spill_s"][0] / fwd, 3),
+            "replay_aux_spill": round(
+                res["bwd_replay_aux_spill_s"][0] / fwd, 3),
             "spill_overhead": round(res["fwd_spill_s"][0] / fwd, 3),
         },
     }, indent=1))

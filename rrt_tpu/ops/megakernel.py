@@ -629,7 +629,7 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
                        has_quads, has_boxes, has_rot_boxes,
                        has_perlin, has_images, img_ah, img_aw, n_media,
                        t_min, max_depth, cull_s, cull_q, cull_b,
-                       fam_n=None):
+                       fam_n=None, rr_depth=0):
     st = state_ref[:, :]  # (16, TN)
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
@@ -656,7 +656,7 @@ def _bounce_megakernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
                           box_ref=box_ref, b_tiles=b_tiles,
                           has_boxes=has_boxes,
                           has_rot_boxes=has_rot_boxes, bb_ref=bb_ref,
-                          cull_b=cull_b, fam_n=fam_n)
+                          cull_b=cull_b, fam_n=fam_n, rr_depth=rr_depth)
 
 
 def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
@@ -666,7 +666,7 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                       qb_ref=None, cull_s=False, cull_q=False,
                       box_ref=None, b_tiles=0, has_boxes=False,
                       has_rot_boxes=False, bb_ref=None, cull_b=False,
-                      fam_n=None):
+                      fam_n=None, rr_depth=0):
     # fori_loop over steps (kernel size independent of K) with a
     # whole-tile alive check per step: once every lane in the tile has
     # died, the remaining steps cost one scalar branch each — so a
@@ -686,7 +686,7 @@ def _bounce_tile_body(st, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
             sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
             box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
             has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
-            fam_n=fam_n)
+            fam_n=fam_n, rr_depth=rr_depth)
         return rows2[:14] + (rows2[14].astype(jnp.float32),) + rows2[15:]
 
     def step(_k, rows_f):
@@ -722,7 +722,7 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
                 max_depth, want_aux=False, sb_ref=None, qb_ref=None,
                 cull_s=False, cull_q=False, box_ref=None, b_tiles=0,
                 has_boxes=False, has_rot_boxes=False, bb_ref=None,
-                cull_b=False, fam_n=None):
+                cull_b=False, fam_n=None, rr_depth=0):
     """One fused bounce step on (1,TN) state rows.
 
     Shared by the forward megakernel (want_aux=False) and the backward
@@ -1474,15 +1474,38 @@ def _one_bounce(rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
         scattered = (is_met & met_ok) | ((~is_met)
                                          & (is_lam | is_die | is_iso))
         survives = hit & scattered & (bounce < max_depth)
+        if rr_depth:
+            # Unbiased Russian roulette (forward-render option, VERDICT
+            # r3 #7): past rr_depth bounces continue with probability
+            # p = clamp(max post-attenuation throughput, 0.05, 1) and
+            # divide the survivor's throughput by p. Draw-identical to
+            # render._shade's XLA twin (STREAM_RR word a, see
+            # rng.rr_draw). Shortens the straggler tail the while_loop
+            # otherwise rides to depth 50 at full sweep cost.
+            tnx, tny, tnz = thx * atr, thy * atg, thz * atb
+            p_rr = jnp.clip(jnp.maximum(tnx, jnp.maximum(tny, tnz)),
+                            0.05, 1.0)
+            cr = (bounce.astype(jnp.int32).astype(jnp.uint32)
+                  * jnp.uint32(rng._NUM_STREAMS)
+                  + jnp.uint32(rng.STREAM_RR))
+            rr_a, _ = rng.threefry2x32(k0, k1, cr, jnp.uint32(0))
+            rr_on = bounce >= jnp.float32(rr_depth)
+            survives = survives & ((~rr_on)
+                                   | (rng._to_uniform(rr_a) < p_rr))
+            inv_p = jnp.where(rr_on, 1.0 / p_rr, 1.0)
+            thx = jnp.where(survives, tnx * inv_p, thx)
+            thy = jnp.where(survives, tny * inv_p, thy)
+            thz = jnp.where(survives, tnz * inv_p, thz)
+        else:
+            thx = jnp.where(survives, thx * atr, thx)
+            thy = jnp.where(survives, thy * atg, thy)
+            thz = jnp.where(survives, thz * atb, thz)
         ox = jnp.where(survives, px_, ox)
         oy = jnp.where(survives, py_, oy)
         oz = jnp.where(survives, pz_, oz)
         dx = jnp.where(survives, ndx, dx)
         dy = jnp.where(survives, ndy, dy)
         dz = jnp.where(survives, ndz, dz)
-        thx = jnp.where(survives, thx * atr, thx)
-        thy = jnp.where(survives, thy * atg, thy)
-        thz = jnp.where(survives, thz * atb, thz)
         new_bounce = bounce + survives.astype(jnp.float32)
         new_traced = traced + alive.astype(jnp.float32)
 
@@ -1523,7 +1546,7 @@ CULL_MIN_TILES = int(os.environ.get("RRT_CULL_MIN_TILES", "3"))
     static_argnames=("k_steps", "moving", "has_quads", "has_boxes",
                      "has_rot_boxes", "has_perlin",
                      "has_images", "img_ah", "img_aw", "n_media",
-                     "max_depth", "t_min", "fam_n"))
+                     "max_depth", "t_min", "fam_n", "rr_depth"))
 def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
                  atlas=None, sph_bounds=None, quad_bounds=None,
                  boxes24=None, box_bounds=None, *,
@@ -1532,7 +1555,7 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
                  has_rot_boxes: bool = False, has_perlin: bool = False,
                  has_images: bool = False, img_ah: int = 1,
                  img_aw: int = 1, n_media: int = 0, max_depth: int = 50,
-                 t_min: float = 1e-3, fam_n=None):
+                 t_min: float = 1e-3, fam_n=None, rr_depth: int = 0):
     """Run k_steps fused bounce steps.
 
     state (16, Q) f32; keys (2, Q) u32; spheres24 (24, S);
@@ -1577,7 +1600,7 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
         img_aw=img_aw, n_media=n_media, t_min=t_min,
         max_depth=float(max_depth), cull_s=cull_s, cull_q=cull_q,
-        cull_b=cull_b, fam_n=fam_n)
+        cull_b=cull_b, fam_n=fam_n, rr_depth=rr_depth)
 
     state_out = pallas_call(
         kern,
@@ -1996,7 +2019,8 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
                         q_tiles, b_tiles, moving, has_quads, has_boxes,
                         has_rot_boxes, has_perlin,
                         has_images, img_ah, img_aw, n_media, t_min,
-                        max_depth, cull_s, cull_q, cull_b, fam_n=None):
+                        max_depth, cull_s, cull_q, cull_b, fam_n=None,
+                        rr_depth=0):
     # Lane L owns `chains` pixels (one per TN-column block of the meta
     # tile) and traces each pixel's spp samples back-to-back before
     # advancing to the next. More chains per lane averages the straggler
@@ -2012,7 +2036,7 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
               sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
               has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
-              fam_n=fam_n)
+              fam_n=fam_n, rr_depth=rr_depth)
 
     out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
 
@@ -2122,7 +2146,7 @@ def _tile_render_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
     static_argnames=("spp", "chains", "moving", "has_quads", "has_boxes",
                      "has_rot_boxes", "has_perlin",
                      "has_images", "img_ah", "img_aw", "n_media",
-                     "max_depth", "t_min", "fam_n"))
+                     "max_depth", "t_min", "fam_n", "rr_depth"))
 def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
                  atlas=None, sph_bounds=None, quad_bounds=None,
                  boxes24=None, box_bounds=None, *,
@@ -2131,7 +2155,8 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
                  has_rot_boxes: bool = False,
                  has_perlin: bool = False, has_images: bool = False,
                  img_ah: int = 1, img_aw: int = 1, n_media: int = 0,
-                 max_depth: int = 50, t_min: float = 1e-3, fam_n=None):
+                 max_depth: int = 50, t_min: float = 1e-3, fam_n=None,
+                 rr_depth: int = 0):
     """Render every pixel's spp samples in one launch.
 
     meta (8, NP) from pack_pixel_meta (NP a multiple of chains*TN);
@@ -2169,7 +2194,8 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
         has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
         has_images=has_images, img_ah=img_ah, img_aw=img_aw,
         n_media=n_media, t_min=t_min, max_depth=float(max_depth),
-        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b, fam_n=fam_n)
+        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b, fam_n=fam_n,
+        rr_depth=rr_depth)
 
     out = pallas_call(
         kern,

@@ -50,6 +50,7 @@ Reference analog: the recursive trace + rayon pixel loop of
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -112,6 +113,61 @@ def _unpack_carry(blk):
     k0 = jax.lax.bitcast_convert_type(blk[21:22], jnp.uint32)
     k1 = jax.lax.bitcast_convert_type(blk[22:23], jnp.uint32)
     return rows_f, sample, chain, pxr, pyr, gidf, k0, k1
+
+
+def _spill_layout(has_quads, has_boxes, has_images, n_media):
+    """Row layout of the per-step aux spill appended to each replay-
+    scratch record when aux_spill is on (VERDICT r3 #3's partial-spill
+    trim): the replay loop runs _one_bounce anyway, so spilling the
+    winner blocks + branch flags it produces lets the reverse sweep
+    skip the second full intersection sweep (measured 0.80x of a
+    forward on chap12, benchmarks/bwd_profile.py). Offsets are relative
+    to the start of the spill block (i.e. after the CROWS carry rows).
+
+    Returns (padded_rows, offsets dict). Flag booleans are packed into
+    one f32 bit row (values < 2^13, exact in f32)."""
+    off = {}
+    r = 0
+    for name, n in (("t_hit", 1), ("win_s", 1), ("flags", 1),
+                    ("draws", 7), ("sel_s", 24)):
+        off[name] = r
+        r += n
+    if has_quads:
+        off["sel_q"] = r
+        off["win_q"] = r + 24
+        r += 25
+    if has_boxes:
+        off["sel_b"] = r
+        off["win_b"] = r + 24
+        r += 25
+    if has_images:
+        off["xi"] = r
+        off["img_row"] = r + 1
+        r += 2
+    if n_media > 0:
+        off["win_med"] = r
+        r += 1
+    return -(-r // 8) * 8, off
+
+
+# Bit positions inside the packed flag row (order is load-bearing for
+# replay/reverse agreement only — both sides use these constants).
+_FLAG_BITS = ("hit", "miss", "survives", "front", "degen", "do_reflect",
+              "use_c2", "use_q", "use_b", "use_med", "is_per", "is_img",
+              "alive2")
+
+
+def _pack_flags(vals: dict):
+    acc = jnp.zeros_like(vals["hit"], jnp.float32)
+    for i, name in enumerate(_FLAG_BITS):
+        if name in vals:
+            acc = acc + vals[name].astype(jnp.float32) * float(1 << i)
+    return acc
+
+
+def _unpack_flag(bits, name: str):
+    i = _FLAG_BITS.index(name)
+    return jnp.floor(bits / float(1 << i)) % 2.0 > 0.5
 
 
 def _meta_at(meta_ref, chains, chain, row):
@@ -318,13 +374,26 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                       has_quads, has_boxes, has_rot_boxes, has_perlin,
                       has_images, img_ah, img_aw, n_media, t_min,
                       max_depth, cull_s, cull_q, cull_b, fam_n=None,
-                      ablate=None):
+                      ablate=None, aux_spill=False):
     # `ablate` is a MEASUREMENT-ONLY knob (benchmarks/bwd_profile.py,
     # VERDICT r3 #3): "replay" stops after the segment replay loops,
     # "rederive" adds the reverse sweep's aux re-derivation but skips
     # the jax.vjp transpose + pack scatters. Both produce garbage
     # gradients (a tiny anti-DCE accumulation keeps the loops live);
     # production (tile_train_chain) always passes None.
+    #
+    # `aux_spill` trades replay-scratch VMEM traffic for the reverse
+    # sweep's re-derivation: the replay loop spills the winner blocks +
+    # branch flags _one_bounce produces anyway, and the reverse sweep
+    # reconstructs `aux` from the spill instead of re-running the full
+    # intersection sweep (0.83x of a forward on chap12; the spill
+    # writes themselves measure free — benchmarks/bwd_profile.py).
+    if aux_spill:
+        spill_rows, soff = _spill_layout(has_quads, has_boxes,
+                                         has_images, n_media > 0)
+    else:
+        spill_rows, soff = 0, None
+    srows = CROWS + spill_rows
     @pl.when(pl.program_id(0) == 0)
     def _():
         dsph_ref[:, :] = jnp.zeros(dsph_ref.shape, jnp.float32)
@@ -393,12 +462,38 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
 
         # --- replay the segment's steps into VMEM scratch -------------
         def rep(k, rc):
-            steps_ref[pl.ds(pl.multiple_of(k * CROWS, 8), CROWS), :] = \
+            steps_ref[pl.ds(pl.multiple_of(k * srows, 8), CROWS), :] = \
                 _pack_carry(*rc)
             rows_f, sample, chain, pxr, pyr, gidf, k0, k1 = rc
             rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
-            rows2, _ = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref,
-                                      med_ref, atlas_ref, bg_ref, **bk)
+            rows2, rep_aux = mk._one_bounce(
+                rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
+                bg_ref, want_aux=aux_spill, **bk)
+            if aux_spill:
+                flag_vals = {n: rep_aux[n] for n in _FLAG_BITS
+                             if n in rep_aux}
+                flag_vals["alive2"] = rows2[14]
+                parts = [rep_aux["t_hit"], rep_aux["win_s"],
+                         _pack_flags(flag_vals)]
+                parts += list(rep_aux["draws"])
+                parts.append(rep_aux["sel_s"])
+                if has_quads:
+                    parts += [rep_aux["sel_q"], rep_aux["win_q"]]
+                if has_boxes:
+                    parts += [rep_aux["sel_b"], rep_aux["win_b"]]
+                if has_images:
+                    # int32 texel ids, exact in f32 (atlas < 2^24 texels)
+                    parts += [rep_aux["xi"].astype(jnp.float32),
+                              rep_aux["img_row"].astype(jnp.float32)]
+                if n_media > 0:
+                    parts.append(rep_aux["win_med"])
+                blk = jnp.concatenate(parts, axis=0)
+                pad = spill_rows - blk.shape[0]
+                if pad:
+                    blk = jnp.concatenate(
+                        [blk, jnp.zeros((pad, TN), jnp.float32)], axis=0)
+                steps_ref[pl.ds(pl.multiple_of(k * srows + CROWS, 8),
+                                spill_rows), :] = blk
             nxt, _ = _advance(rows_f, rows2, sample, chain, pxr, pyr,
                               gidf, k0, k1, **adv_kw)
             return nxt
@@ -415,14 +510,57 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
         # --- reverse sweep over the segment's steps --------------------
         def rev(j, dc):
             k = nk - 1 - j
-            blk = steps_ref[pl.ds(pl.multiple_of(k * CROWS, 8), CROWS),
+            blk = steps_ref[pl.ds(pl.multiple_of(k * srows, 8), srows),
                             :]
             rows_f, sample, chain, pxr, pyr, gidf, k0, k1 = \
-                _unpack_carry(blk)
+                _unpack_carry(blk[:CROWS])
             rows = rows_f[:14] + (rows_f[14] > 0.5,) + rows_f[15:]
-            rows2, aux = mk._one_bounce(rows, k0, k1, sph_ref, quad_ref,
-                                        med_ref, atlas_ref, bg_ref,
-                                        want_aux=True, **bk)
+            if aux_spill:
+                # Reconstruct aux from the replay spill — no second
+                # intersection sweep.
+                sp = blk[CROWS:]
+
+                def srow(name, n=1):
+                    return sp[soff[name]:soff[name] + n]
+
+                bits = srow("flags")
+                aux = dict(
+                    t_hit=srow("t_hit"), win_s=srow("win_s"),
+                    sel_s=srow("sel_s", 24),
+                    draws=tuple(sp[soff["draws"] + i:
+                                   soff["draws"] + i + 1]
+                                for i in range(7)))
+                for name in ("hit", "miss", "survives", "front",
+                             "degen", "do_reflect", "use_c2"):
+                    aux[name] = _unpack_flag(bits, name)
+                if has_quads:
+                    aux["sel_q"] = srow("sel_q", 24)
+                    aux["win_q"] = srow("win_q")
+                    aux["use_q"] = _unpack_flag(bits, "use_q")
+                else:
+                    aux["sel_q"] = jnp.zeros((24, TN), jnp.float32)
+                    aux["use_q"] = jnp.zeros((1, TN), bool)
+                if has_boxes:
+                    aux["sel_b"] = srow("sel_b", 24)
+                    aux["win_b"] = srow("win_b")
+                    aux["use_b"] = _unpack_flag(bits, "use_b")
+                if has_perlin:
+                    aux["is_per"] = _unpack_flag(bits, "is_per")
+                if has_images:
+                    aux["is_img"] = _unpack_flag(bits, "is_img")
+                    aux["xi"] = srow("xi").astype(jnp.int32)
+                    aux["img_row"] = srow("img_row").astype(jnp.int32)
+                if n_media > 0:
+                    aux["use_med"] = _unpack_flag(bits, "use_med")
+                    aux["win_med"] = srow("win_med")
+                alive2 = _unpack_flag(bits, "alive2")
+                # _advance only reads rows2[14] (and rows the unused
+                # `new` carry consumes — DCE'd); stub the rest.
+                rows2 = rows_f[:14] + (alive2,) + rows_f[15:]
+            else:
+                rows2, aux = mk._one_bounce(
+                    rows, k0, k1, sph_ref, quad_ref, med_ref, atlas_ref,
+                    bg_ref, want_aux=True, **bk)
             _, fl = _advance(rows_f, rows2, sample, chain, pxr, pyr,
                              gidf, k0, k1, **adv_kw)
 
@@ -717,7 +855,7 @@ def _fwd_launch(kern, meta, seed2, cam24, sph24, quad24, box24, med24,
 
 def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
               med24, bg8, atlas, sb, qb, bb, bounds, *, spp, chains,
-              ablate=None, **flags):
+              ablate=None, aux_spill=False, **flags):
     npad = meta.shape[1]
     block = chains * TN
     s_count = sph24.shape[1]
@@ -737,7 +875,15 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
         _train_bwd_kernel, spp=spp, chains=chains, seg_k=seg_k,
         n_bounds=n_bounds, s_tiles=s_tiles,
         q_tiles=q_tiles, b_tiles=b_tiles, cull_s=cull_s,
-        cull_q=cull_q, cull_b=cull_b, ablate=ablate, **flags)
+        cull_q=cull_q, cull_b=cull_b, ablate=ablate,
+        aux_spill=aux_spill, **flags)
+    if aux_spill:
+        spill_rows, _ = _spill_layout(
+            flags["has_quads"], flags["has_boxes"], flags["has_images"],
+            flags["n_media"] > 0)
+    else:
+        spill_rows = 0
+    srows = CROWS + spill_rows
 
     md = max(1, flags["n_media"])
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -748,14 +894,14 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
             box24, med24, bg8, atlas, sb, qb, bb, bounds, acc=acc,
             npad=npad, block=block, s_count=s_count, q_count=q_count,
             b_count=b_count, n_bounds=n_bounds, seg_k=seg_k, md=md,
-            spp=spp, chains=chains)
+            spp=spp, chains=chains, srows=srows)
     return outs
 
 
 def _bwd_launch(kern, meta, drad, nsteps, seed2, cam24, sph24, quad24,
                 box24, med24, bg8, atlas, sb, qb, bb, bounds, *, acc,
                 npad, block, s_count, q_count, b_count, n_bounds, seg_k,
-                md, spp, chains):
+                md, spp, chains, srows=CROWS):
     outs = mk.pallas_call(
         kern,
         grid=(npad // block,),
@@ -797,7 +943,7 @@ def _bwd_launch(kern, meta, drad, nsteps, seed2, cam24, sph24, quad24,
             jax.ShapeDtypeStruct((24, TN), jnp.float32),
             jax.ShapeDtypeStruct((md * 24, TN), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((seg_k * CROWS, TN), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((seg_k * srows, TN), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=3 * spp * 3 * 40 * npad
             * (s_count + q_count + b_count),
@@ -818,7 +964,7 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
                      has_rot_boxes: bool, has_perlin: bool,
                      has_images: bool, img_ah: int, img_aw: int,
                      max_depth: int, t_min: float, n_media: int = 0,
-                     fam_n=None):
+                     fam_n=None, aux_spill: bool | None = None):
     """The tile-resident renderer as a reverse-differentiable primitive.
 
     chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8, atlas,
@@ -827,7 +973,18 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
     backward = one segmented replay+adjoint launch producing cotangents
     for cam24 and every primitive/medium pack — scene/camera gradients
     then flow through the (tiny, dense) XLA transposes of the pack_*
-    functions."""
+    functions.
+
+    aux_spill (None = RRT_AUX_SPILL env, default on): the backward
+    spills winner blocks from the replay loop instead of re-running the
+    intersection sweep in the reverse sweep. Measured on chap12
+    1200x800@8spp depth 50 (benchmarks/bwd_profile.py, v5e): backward
+    launch 0.921 s -> 0.612 s (2.70x -> 1.79x of the 0.341 s forward;
+    whole train step 3.7x -> 2.86x), with the replay's extra spill
+    writes free (1.291x -> 1.281x — hidden in VPU-bound slack).
+    RRT_AUX_SPILL=0 restores the re-derivation backward."""
+    if aux_spill is None:
+        aux_spill = os.environ.get("RRT_AUX_SPILL", "1") == "1"
     flags = dict(moving=moving, has_quads=has_quads, has_boxes=has_boxes,
                  has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
                  has_images=has_images, img_ah=img_ah, img_aw=img_aw,
@@ -859,7 +1016,7 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
         dsph, dquad, dbox, dbg_l, datlas, dcam_l, dmed_l = _bwd_call(
             meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
             med24, bg8, atlas, sb, qb, bb, bounds, spp=spp,
-            chains=chains, **flags)
+            chains=chains, aux_spill=aux_spill, **flags)
         dcam24 = jnp.sum(dcam_l, axis=1)
         dbg8 = jnp.sum(dbg_l, axis=1)
         if n_media > 0:

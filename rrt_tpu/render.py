@@ -66,6 +66,14 @@ class RenderConfig:
     # entry point auto-falls back to the XLA drivers off-TPU or out of
     # kernel scope.
     use_megakernel: bool = True
+    # Russian roulette: past this bounce, continue with probability
+    # p = clamp(max throughput component, 0.05, 1) and divide the
+    # survivor's throughput by p (unbiased; shortens the depth-50
+    # straggler tail). 0 = off (the books' method and the default —
+    # golden comparisons and the differentiable paths use exact
+    # depth-termination; rr changes the estimator's variance, not its
+    # mean). Forward drivers only; render_image_diff ignores it.
+    rr_depth: int = 0
 
 
 def background_color(scene: SceneArrays, d: V3) -> V3:
@@ -146,14 +154,35 @@ def _shade(scene: SceneArrays, o: V3, d: V3, time, keys, bounce, alive,
     return contribution, new_o, new_d, sc.attenuation, survives
 
 
+def _apply_rr(keys, bounce, throughput, attenuation, survives,
+              rr_depth: int):
+    """Unbiased Russian roulette on the XLA drivers — draw-identical to
+    the megakernel's in-kernel form (STREAM_RR word a; same clip, same
+    op order). Past rr_depth bounces a surviving lane continues with
+    p = clamp(max post-attenuation throughput component, 0.05, 1) and
+    the survivor's throughput is divided by p. Returns
+    (new throughput, new survives)."""
+    t_new = throughput * attenuation
+    if not rr_depth:
+        return V3.where(survives, t_new, throughput), survives
+    p = jnp.clip(jnp.maximum(t_new.x, jnp.maximum(t_new.y, t_new.z)),
+                 0.05, 1.0)
+    u = rng.rr_draw(keys, bounce)
+    rr_on = jnp.asarray(bounce) >= rr_depth
+    survives = survives & ((~rr_on) | (u < p))
+    inv_p = jnp.where(rr_on, 1.0 / p, 1.0)
+    return V3.where(survives, t_new * inv_p, throughput), survives
+
+
 def _bounce_body(scene, t_min, keys, carry, bounce, max_depth,
-                 packed=None):
+                 packed=None, rr_depth: int = 0):
     o, d, time, throughput, radiance, alive, n_traced = carry
     contribution, new_o, new_d, attenuation, survives = _shade(
         scene, o, d, time, keys, bounce, alive, t_min, max_depth,
         packed=packed)
     radiance = radiance + throughput * contribution
-    throughput = V3.where(survives, throughput * attenuation, throughput)
+    throughput, survives = _apply_rr(keys, bounce, throughput,
+                                     attenuation, survives, rr_depth)
     n_traced = n_traced + jnp.sum(alive.astype(jnp.float32))
     return (new_o, new_d, time, throughput, radiance, survives, n_traced)
 
@@ -260,10 +289,13 @@ def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
 
 def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,
                 max_depth: int, t_min: float, differentiable: bool,
-                packed=None, fused_vjp: bool = False):
+                packed=None, fused_vjp: bool = False,
+                rr_depth: int = 0):
     """Trace a fixed ray batch to completion.
 
     keys: (N,2) per-lane sample key words (rng.sample_keys).
+    rr_depth: Russian roulette (forward only — the differentiable paths
+    keep exact depth-termination; see RenderConfig.rr_depth).
     Returns (radiance V3, n_traced ())."""
     if differentiable and fused_vjp:
         return trace_batch_fused(scene, o, d, time, keys, max_depth,
@@ -276,7 +308,8 @@ def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,
               jnp.zeros((), jnp.float32))  # rays traced (f32: metric only)
 
     body = partial(_bounce_body, scene, t_min, keys, max_depth=max_depth,
-                   packed=packed)
+                   packed=packed,
+                   rr_depth=0 if differentiable else rr_depth)
 
     if differentiable:
         ckpt_body = jax.checkpoint(lambda c, b: body(c, b))
@@ -406,7 +439,8 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
             scene, o, d, tm, keys, bounce, alive, cfg.t_min, cfg.max_depth,
             packed=packed)
         pend = pend + thr * contribution
-        thr = V3.where(survives, thr * attenuation, thr)
+        thr, survives = _apply_rr(keys, bounce, thr, attenuation,
+                                  survives, cfg.rr_depth)
         bounce = bounce + survives.astype(jnp.int32)
         traced = traced + alive.astype(jnp.float32)
         st = ops_mega.pack_state(new_o, new_d, tm, thr, pend, bounce,
@@ -427,7 +461,7 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
                 has_images=scene.has_images, img_ah=img_ah,
                 img_aw=img_aw, n_media=n_media_mk,
                 max_depth=cfg.max_depth, t_min=cfg.t_min,
-                fam_n=scene.fam_n)
+                fam_n=scene.fam_n, rr_depth=cfg.rr_depth)
             return st, keys, pix, next_s, acc
         return jax.lax.fori_loop(0, k_steps, bounce_step, state)
 
@@ -496,7 +530,8 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
         radiance, n_traced = trace_batch(scene, o, d, tm, keys,
                                          cfg.max_depth, cfg.t_min,
                                          differentiable, packed=packed,
-                                         fused_vjp=fused_vjp)
+                                         fused_vjp=fused_vjp,
+                                         rr_depth=cfg.rr_depth)
         rad = jnp.stack([radiance.x, radiance.y, radiance.z], axis=-1)
         return jnp.sum(rad.reshape(spc, p_count, 3), axis=0), n_traced
 
@@ -674,7 +709,8 @@ def tile_call(scene: SceneArrays, camera: Camera, cfg: RenderConfig,
         has_perlin=scene.has_perlin, has_images=scene.has_images,
         img_ah=scene.images.shape[1], img_aw=scene.images.shape[2],
         n_media=scene.n_media_active,
-        max_depth=cfg.max_depth, t_min=cfg.t_min, fam_n=scene.fam_n)
+        max_depth=cfg.max_depth, t_min=cfg.t_min, fam_n=scene.fam_n,
+        rr_depth=cfg.rr_depth)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_samples"))

@@ -188,6 +188,14 @@ def medium_draws(keys, bounce, n_media: int):
     return uniform_words(keys, bounce, STREAM_MEDIUM, n_media)
 
 
+def rr_draw(keys, bounce):
+    """(N,) uniform for the Russian-roulette continuation test at this
+    bounce (STREAM_RR — reserved since round 1, first consumed by the
+    round-4 RR option). The kernel path re-derives the identical value
+    via threefry2x32(k0, k1, counter, 0) word a."""
+    return uniform_words(keys, bounce, STREAM_RR, 1)[0]
+
+
 # --- batch-level helpers (tests/utilities) -------------------------------
 
 
