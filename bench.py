@@ -226,6 +226,21 @@ def main():
             _, n2 = sync_img(fwd2())  # compile + warm
             med2, _, _ = _timed(fwd2, sync_img, n=3)
             d[name + "_mrays_per_s"] = round(float(n2) / med2 / 1e6, 2)
+            if name == "rttnw_final":
+                # Russian-roulette speedup at equal quality (image
+                # delta 10-30x below the 32spp seed noise; BASELINE.md
+                # "Russian roulette"). Wall-time lever, not a rays/s
+                # one: rays and time shrink together.
+                import dataclasses
+                cfg_rr = dataclasses.replace(cfg2, rr_depth=4)
+
+                def fwd_rr():
+                    return render_image_tiles(sc, cm, cfg_rr, 0)
+
+                sync_img(fwd_rr())
+                med_rr, _, _ = _timed(fwd_rr, sync_img, n=3)
+                d["rttnw_final_rr4_wall_s"] = round(med_rr, 3)
+                d["rttnw_final_rr4_speedup"] = round(med2 / med_rr, 3)
 
         rec.phase("scene_" + name, phase_scene)
 

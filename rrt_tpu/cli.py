@@ -48,6 +48,11 @@ def build_parser():
     p.add_argument("-o", "--output", default="o.ppm",
                    help="output path; .png or .ppm by extension")
     p.add_argument("--max-depth", type=int, default=50)
+    p.add_argument("--rr-depth", type=int, default=0,
+                   help="Russian roulette from this bounce (0 = off, "
+                   "the books' exact termination; 4-8 cuts wall time "
+                   "1.2-1.7x at an image delta far below sampling "
+                   "noise — see BASELINE.md)")
     p.add_argument("--spp-chunk", type=int, default=-1,
                    help="samples per progressive pass (-1 = auto: "
                    "min(32, spp) so long renders report progress; "
@@ -260,7 +265,8 @@ def main(argv=None):
         queue_size=min(args.queue_size, width * height * spp),
         use_pallas=args.pallas,
         use_megakernel=not args.no_megakernel,
-        samples_per_pass=min(4, spp), tile_pixels=16384)
+        samples_per_pass=min(4, spp), tile_pixels=16384,
+        rr_depth=args.rr_depth)
 
     if distributed or args.mesh:
         return _main_sharded(args, cfg, scene, camera, seed, log)
