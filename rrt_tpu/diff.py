@@ -92,7 +92,16 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
     from .render import (DIFF_SAMPLE_BUDGET, trace_tiles,
                          trace_tiles_diff)
 
-    chunk = spp_chunk or DIFF_SAMPLE_BUDGET
+    if spp_chunk is None:
+        # Bigger chunks amortize per-call dispatch: the 500spp north
+        # star measured 77.0 s at chunk=64, 76.1 at 100, 73.5 at 125
+        # (BASELINE.md "North-star training", round 4). Cap at 256 so
+        # one backward call (~chunk/8 x 0.95 s) stays well inside the
+        # ~60 s single-execution wall; HBM stays bounded regardless via
+        # the inner DIFF_SAMPLE_BUDGET remat split.
+        chunk = min(256, max(DIFF_SAMPLE_BUDGET, cfg.spp // 4))
+    else:
+        chunk = spp_chunk
     if cfg.spp % chunk != 0:
         chunk = next(c for c in range(chunk, 0, -1) if cfg.spp % c == 0)
     n_pix = cfg.width * cfg.height
