@@ -66,26 +66,25 @@ class Recorder:
         self.errors = {}
 
     def phase(self, name, fn, max_attempts=MAX_ATTEMPTS):
-        """Run fn() under bounded retry. Returns its value, or None after
-        recording the terminal failure. Transient faults re-run the
-        phase from the top (fn must be idempotent: each phase re-warms
-        its own compiled functions, so a retry pays at most a cached
-        compile)."""
-        last = None
-        for attempt in range(max_attempts):
-            try:
-                return fn()
-            except KeyboardInterrupt:
-                raise
-            except BaseException as e:  # noqa: BLE001 — record + continue
-                last = e
-                if not _is_transient(e) or attempt == max_attempts - 1:
-                    break
-                time.sleep(2.0 * (attempt + 1))
-        self.errors[name] = "%s: %s" % (type(last).__name__,
-                                        str(last).split("\n")[0][:300])
+        """Run fn() under bounded retry (rrt_tpu.utils.retry — one
+        retry policy for the whole repo). Returns its value, or None
+        after recording the terminal failure. Transient faults re-run
+        the phase from the top (fn must be idempotent: each phase
+        re-warms its own compiled functions, so a retry pays at most a
+        cached compile)."""
+        from rrt_tpu.utils.retry import with_retries
+        try:
+            return with_retries(fn, max_attempts=max_attempts)
+        except KeyboardInterrupt:
+            raise
+        except BaseException as e:  # noqa: BLE001 — record + continue
+            # format_exc() must run INSIDE the except block — the
+            # exception state is cleared when it exits.
+            tb = traceback.format_exc()
+            self.errors[name] = "%s: %s" % (type(e).__name__,
+                                            str(e).split("\n")[0][:300])
         sys.stderr.write("bench phase %r failed terminally:\n%s\n"
-                         % (name, traceback.format_exc()))
+                         % (name, tb))
         return None
 
     def emit(self, value, vs_baseline, metric, unit="Mrays/s"):

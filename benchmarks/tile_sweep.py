@@ -19,6 +19,7 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), os.pardir,
                                    ".jax_cache"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import jax  # noqa: E402
 

@@ -332,15 +332,20 @@ def main(argv=None):
     acc = np.zeros((n_pix, 3), np.float32)
     spp_done = 0
     total_rays = 0.0
+    # Everything that changes the rendered radiance must be in the
+    # checkpoint meta, or resume silently AVERAGES two different
+    # renders (e.g. 4 file-textured + 4 procedural-textured spp).
+    ck_meta = {"scene": args.scene, "width": width, "height": height,
+               "max_depth": args.max_depth, "rr_depth": args.rr_depth,
+               "texture": args.texture or "",
+               "texture_filter": args.texture_filter}
     if args.checkpoint:
         try:
             acc_l, spp_done, seed_ck, meta = rio.load_checkpoint(
                 args.checkpoint)
-            compatible = (seed_ck == seed and meta.get("scene") == args.scene
-                          and meta.get("width", width) == width
-                          and meta.get("height", height) == height
-                          and meta.get("max_depth",
-                                       args.max_depth) == args.max_depth
+            compatible = (seed_ck == seed
+                          and all(meta.get(k, v) == v
+                                  for k, v in ck_meta.items())
                           and acc_l.shape[0] == n_pix)
             if compatible and args.driver == "batch" \
                     and spp_done % cfg.samples_per_pass:
@@ -373,9 +378,7 @@ def main(argv=None):
         if args.checkpoint and (passes % args.checkpoint_every == 0
                                 or spp_done >= spp):
             rio.save_checkpoint(args.checkpoint, acc, spp_done, seed,
-                                {"scene": args.scene, "width": width,
-                                 "height": height,
-                                 "max_depth": args.max_depth})
+                                ck_meta)
         # Fault-injection hook (SURVEY §5.3): RRT_FAULT_AFTER_CHUNKS=N
         # hard-kills the process after N chunks, simulating a mid-render
         # crash. Recovery = restart with the same --checkpoint; the

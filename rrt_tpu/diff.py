@@ -92,23 +92,30 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
     from .render import (DIFF_SAMPLE_BUDGET, trace_tiles,
                          trace_tiles_diff)
 
-    if spp_chunk is None:
-        # Bigger chunks amortize per-call dispatch: the 500spp north
-        # star measured 77.0 s at chunk=64, 76.1 at 100, 73.5 at 125
-        # (BASELINE.md "North-star training", round 4). Cap at 256 so
-        # one backward call (~chunk/8 x 0.95 s) stays well inside the
-        # ~60 s single-execution wall; HBM stays bounded regardless via
-        # the inner DIFF_SAMPLE_BUDGET remat split.
+    if not spp_chunk:
+        # (0/None = auto.) Bigger chunks amortize per-call dispatch:
+        # the 500spp north star measured 77.0 s at chunk=64, 76.1 at
+        # 100, 73.5 at 125 (BASELINE.md "North-star training", round
+        # 4). Cap at 256 so one backward call (~chunk/8 x 0.95 s) stays
+        # well inside the ~60 s single-execution wall; HBM stays
+        # bounded regardless via the inner DIFF_SAMPLE_BUDGET remat
+        # split.
         chunk = min(256, max(DIFF_SAMPLE_BUDGET, cfg.spp // 4))
     else:
         chunk = spp_chunk
     if cfg.spp % chunk != 0:
         chunk = next(c for c in range(chunk, 0, -1) if cfg.spp % c == 0)
     n_pix = cfg.width * cfg.height
+    # The differentiable paths use exact depth-termination (rr changes
+    # the estimator); the forward chunks must match the backward's
+    # estimator or the cotangent is evaluated at a different image than
+    # the one gradients flow through.
+    cfg_fwd = (dataclasses.replace(cfg, rr_depth=0) if cfg.rr_depth
+               else cfg)
 
     @jax.jit
     def fwd_chunk(scene, camera, seed, lo):
-        return trace_tiles(scene, camera, cfg, seed, sample_lo=lo,
+        return trace_tiles(scene, camera, cfg_fwd, seed, sample_lo=lo,
                            n_samples=chunk)
 
     @jax.jit

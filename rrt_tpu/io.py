@@ -55,12 +55,37 @@ def read_image(path: str) -> np.ndarray:
     if path.endswith(".ppm"):
         with open(path, "rb") as f:
             data = f.read()
-        # P6 header: magic, whitespace-separated w h maxval, raster.
-        parts = data.split(maxsplit=4)
-        if parts[0] != b"P6":
+        # P6 header: magic + 3 whitespace-separated ints (with optional
+        # '#' comments), then EXACTLY ONE whitespace byte before the
+        # raster. A naive split() would eat raster bytes that happen to
+        # be whitespace values (9/10/13/32 are valid pixel intensities).
+        pos = 0
+
+        def token():
+            nonlocal pos
+            while True:
+                while pos < len(data) and data[pos:pos + 1].isspace():
+                    pos += 1
+                if data[pos:pos + 1] == b"#":  # comment to end of line
+                    while pos < len(data) and data[pos] != 0x0A:
+                        pos += 1
+                else:
+                    break
+            start = pos
+            while pos < len(data) and not data[pos:pos + 1].isspace():
+                pos += 1
+            return data[start:pos]
+
+        if token() != b"P6":
             raise ValueError(f"{path}: only binary PPM (P6) supported")
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-        raster = parts[4][:w * h * 3]
+        w, h, maxval = int(token()), int(token()), int(token())
+        if not 0 < maxval < 256:
+            raise ValueError(
+                f"{path}: only 8-bit PPM supported (maxval {maxval})")
+        pos += 1  # the single whitespace byte after maxval
+        raster = data[pos:pos + w * h * 3]
+        if len(raster) < w * h * 3:
+            raise ValueError(f"{path}: truncated PPM raster")
         img = np.frombuffer(raster, np.uint8).reshape(h, w, 3)
         return img.astype(np.float32) / float(maxval)
     try:

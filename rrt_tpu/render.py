@@ -847,18 +847,27 @@ _warned_fallbacks: set = set()
 def diff_fallback_reason(scene: SceneArrays, cfg: RenderConfig):
     """None when the fused tile train path will run; otherwise the reason
     the differentiable render must use the rematerialized XLA scan
-    (~40x slower — VERDICT r3 weak #7 asked for this to be loud)."""
+    (~40x slower — VERDICT r3 weak #7 asked for this to be loud).
+
+    The gate itself delegates to megakernel_train.supports_train — the
+    single source of truth also used by parallel/mesh.py — so a future
+    scope change there cannot drift past this router; the name-the-
+    reason clauses below only refine the message."""
+    from .ops import megakernel_train as mkt
     if not ops_mega.kernels_available():
         return ("backend %r has no Pallas kernel path (needs TPU or "
                 "RRT_INTERPRET=1)" % jax.default_backend())
     if not cfg.use_megakernel:
         return "use_megakernel=False was requested"
-    if scene.has_images_on_media:
-        return ("an image texture on a constant medium is outside the "
-                "kernel's scope (media albedo must pack to a solid)")
-    if scene.n_media_active > 4:
-        return ("%d constant media exceed the train kernel's 4-slot "
-                "gradient scope" % scene.n_media_active)
+    if not mkt.supports_train(scene):
+        if scene.has_images_on_media:
+            return ("an image texture on a constant medium is outside "
+                    "the kernel's scope (media albedo must pack to a "
+                    "solid)")
+        if scene.n_media_active > 4:
+            return ("%d constant media exceed the train kernel's "
+                    "4-slot gradient scope" % scene.n_media_active)
+        return "the scene is outside the train kernel's scope"
     return None
 
 

@@ -17,16 +17,27 @@ keep-all-iterations behavior (benches/benchmark.rs:38-42) is the bar.
 import time
 
 
+# Deterministic gRPC/XLA status classes: re-running cannot fix these,
+# and each futile retry burns minutes of wall on ~60 s phases.
+_DETERMINISTIC = ("resource_exhausted", "invalid_argument",
+                  "unimplemented", "failed_precondition", "not_found",
+                  "out_of_range", "mosaic")
+
+
 def is_transient(exc: BaseException) -> bool:
     """Failure classes worth retrying: tunnel/stream faults land as
-    JaxRuntimeError/XlaRuntimeError or OSError; match the observed
-    message shapes, not every RuntimeError."""
+    JaxRuntimeError/XlaRuntimeError (INTERNAL/UNAVAILABLE with
+    HTTP/stream messages) or OSError. Deterministic classes (OOM,
+    compile/shape errors) are NOT retried even when wrapped in the same
+    exception types."""
+    msg = str(exc).lower()
+    if any(s in msg for s in _DETERMINISTIC):
+        return False
     name = type(exc).__name__
     if name in ("JaxRuntimeError", "XlaRuntimeError"):
         return True
     if isinstance(exc, (OSError, ConnectionError)):
         return True
-    msg = str(exc).lower()
     return any(s in msg for s in ("remote_compile", "connection",
                                   "response body", "unavailable",
                                   "deadline exceeded"))

@@ -37,7 +37,8 @@ def test_transient_fault_is_retried(bench, monkeypatch):
     """A one-shot JaxRuntimeError inside a phase must be retried and the
     phase's result kept — the exact failure mode that cost round 3 its
     official record."""
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    from rrt_tpu.utils import retry as _retry
+    monkeypatch.setattr(_retry.time, "sleep", lambda s: None)
     rec = bench.Recorder()
     calls = {"n": 0}
 
@@ -61,7 +62,8 @@ def test_terminal_failure_still_emits_parseable_json(bench, monkeypatch,
     """A phase that fails every attempt is recorded in `errors`, other
     phases' fields survive, and emit() prints one parseable JSON line
     with the headline fields present."""
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    from rrt_tpu.utils import retry as _retry
+    monkeypatch.setattr(_retry.time, "sleep", lambda s: None)
     rec = bench.Recorder()
     rec.detail["fwd_mrays_per_s"] = 92.1
     rec.detail["fwd_s_median"] = 0.35
@@ -97,7 +99,8 @@ def test_emit_with_no_headline_is_still_parseable(bench, capsys):
 def test_non_transient_failure_not_retried(bench, monkeypatch):
     """Programming errors (TypeError etc. with no transient markers) must
     not be retried — retrying can't fix them and burns bench wall."""
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    from rrt_tpu.utils import retry as _retry
+    monkeypatch.setattr(_retry.time, "sleep", lambda s: None)
     rec = bench.Recorder()
     calls = {"n": 0}
 
@@ -122,3 +125,30 @@ def test_transient_classifier():
     assert mod._is_transient(RuntimeError("UNAVAILABLE: TPU device error"))
     assert not mod._is_transient(TypeError("bad arg"))
     assert not mod._is_transient(ValueError("shape mismatch"))
+    # Deterministic classes are never retried, even as JaxRuntimeError:
+    # OOM / compile / shape errors cannot be fixed by re-running and
+    # each futile retry burns minutes of wall on ~60 s phases.
+    assert not mod._is_transient(FakeJaxRuntimeError(
+        "RESOURCE_EXHAUSTED: Attempting to allocate 12.3G"))
+    assert not mod._is_transient(FakeJaxRuntimeError(
+        "INTERNAL: Mosaic failed to compile TPU kernel"))
+    assert mod._is_transient(FakeJaxRuntimeError(
+        "INTERNAL: http response body closed early"))
+
+
+def test_terminal_failure_logs_real_traceback(bench, monkeypatch,
+                                              capsys):
+    """The stderr diagnostic must carry the actual traceback, not
+    'NoneType: None' (format_exc() must be captured inside the except
+    block — the exception state is cleared when it exits)."""
+    from rrt_tpu.utils import retry as _retry
+    monkeypatch.setattr(_retry.time, "sleep", lambda s: None)
+    rec = bench.Recorder()
+
+    def broken():
+        raise ValueError("the real diagnostic")
+
+    rec.phase("train_tile", broken)
+    err = capsys.readouterr().err
+    assert "the real diagnostic" in err
+    assert "NoneType: None" not in err

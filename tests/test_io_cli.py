@@ -74,6 +74,39 @@ def test_cli_renders_and_resumes(tmp_path):
     assert open(out, "rb").read() == img_full
 
 
+def test_read_image_ppm_whitespace_raster(tmp_path):
+    """PPM rasters whose leading bytes are whitespace values (9/10/13/32
+    are valid intensities) must decode exactly — a naive header split()
+    eats them. Also: '#' header comments parse; maxval != 255 and
+    truncated rasters are rejected loudly."""
+    img8 = np.zeros((2, 2, 3), np.uint8)
+    img8[0, 0] = (10, 32, 13)  # newline/space/CR as pixel values
+    img8[1, 1] = (200, 9, 255)
+    p = str(tmp_path / "ws.ppm")
+    rio.write_ppm(p, img8)
+    np.testing.assert_allclose(rio.read_image(p),
+                               img8.astype(np.float32) / 255.0)
+
+    pc = str(tmp_path / "comment.ppm")
+    with open(pc, "wb") as f:
+        f.write(b"P6\n# a GIMP-style comment\n2 2\n255\n"
+                + img8.tobytes())
+    np.testing.assert_allclose(rio.read_image(pc),
+                               img8.astype(np.float32) / 255.0)
+
+    import pytest
+    p16 = str(tmp_path / "wide.ppm")
+    with open(p16, "wb") as f:
+        f.write(b"P6\n1 1\n65535\n\x00\x01\x00\x02\x00\x03")
+    with pytest.raises(ValueError, match="8-bit"):
+        rio.read_image(p16)
+    ptr = str(tmp_path / "trunc.ppm")
+    with open(ptr, "wb") as f:
+        f.write(b"P6\n2 2\n255\n\x01\x02")
+    with pytest.raises(ValueError, match="truncated"):
+        rio.read_image(ptr)
+
+
 def test_read_image_png_roundtrip(tmp_path):
     """read_image must invert write_png (via PIL) exactly."""
     rg = np.random.default_rng(11)
