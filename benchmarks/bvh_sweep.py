@@ -14,6 +14,8 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bvh_sweep.py
 """
 
 import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 import statistics
 import time
 

@@ -13,6 +13,8 @@ body), and beware constant-foldable op chains.
 """
 
 import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 import statistics
 import time
 

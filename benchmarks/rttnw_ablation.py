@@ -15,6 +15,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/rttnw_ablation.py
 import os
 import statistics
 import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",

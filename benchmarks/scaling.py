@@ -21,8 +21,12 @@ numbers plumb through. The recorded virtual table lives in BASELINE.md
 """
 
 import argparse
+import os
 import statistics
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import jax
 

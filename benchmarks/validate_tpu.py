@@ -1,7 +1,11 @@
 """TPU validation sweep: megakernel vs XLA queue images on every
 kernel-capable scene (earth exercises the in-kernel image atlas;
 rttnw_final the full feature set + whole-tile culling)."""
-import os, time, sys
+
+import os
+import sys
+import time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache"
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1602,6 +1602,19 @@ def bounce_steps(state, keys, spheres24, quads24, med24, bg8,
         max_depth=float(max_depth), cull_s=cull_s, cull_q=cull_q,
         cull_b=cull_b, fam_n=fam_n, rr_depth=rr_depth)
 
+    with jax.named_scope("mk_bounce_steps"):
+        state_out = _bounce_steps_launch(
+            kern, state, keys, spheres24, quads24, boxes24, med24,
+            atlas, bg8, sph_bounds, quad_bounds, box_bounds,
+            n_tiles=n_tiles, s_count=s_count, q_count=q_count,
+            b_count=b_count, q=q, k_steps=k_steps)
+    return state_out
+
+
+def _bounce_steps_launch(kern, state, keys, spheres24, quads24, boxes24,
+                         med24, atlas, bg8, sph_bounds, quad_bounds,
+                         box_bounds, *, n_tiles, s_count, q_count,
+                         b_count, q, k_steps):
     state_out = pallas_call(
         kern,
         grid=(n_tiles,),
@@ -2197,6 +2210,20 @@ def render_tiles(meta, seed2, cam24, spheres24, quads24, med24, bg8,
         cull_s=cull_s, cull_q=cull_q, cull_b=cull_b, fam_n=fam_n,
         rr_depth=rr_depth)
 
+    scope = jax.named_scope("mk_render_tiles")
+    with scope:
+        out = _render_tiles_launch(
+            kern, meta, seed2, cam24, spheres24, quads24, boxes24,
+            med24, atlas, bg8, sph_bounds, quad_bounds, box_bounds,
+            npad=npad, block=block, s_count=s_count, q_count=q_count,
+            b_count=b_count, spp=spp)
+    return out
+
+
+def _render_tiles_launch(kern, meta, seed2, cam24, spheres24, quads24,
+                         boxes24, med24, atlas, bg8, sph_bounds,
+                         quad_bounds, box_bounds, *, npad, block,
+                         s_count, q_count, b_count, spp):
     out = pallas_call(
         kern,
         grid=(npad // block,),
