@@ -93,14 +93,17 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
                          trace_tiles_diff)
 
     if not spp_chunk:
-        # (0/None = auto.) Bigger chunks amortize per-call dispatch:
-        # the 500spp north star measured 77.0 s at chunk=64, 76.1 at
-        # 100, 73.5 at 125 (BASELINE.md "North-star training", round
-        # 4). Cap at 256 so one backward call (~chunk/8 x 0.95 s) stays
-        # well inside the ~60 s single-execution wall; HBM stays
-        # bounded regardless via the inner DIFF_SAMPLE_BUDGET remat
-        # split.
-        chunk = min(256, max(DIFF_SAMPLE_BUDGET, cfg.spp // 4))
+        # (0/None = auto.) Bigger chunks amortize per-call dispatch AND
+        # avoid the in-graph remat split's extra spill-forward: the
+        # 500spp north star measured 77.0 s at chunk=64, 76.1 at 100,
+        # 73.5 at 125 with the remat split, 67.5 s at 125 as one chain
+        # per backward call (BASELINE.md "North-star training", round
+        # 4). Cap at 128: the backward residual (segment-boundary
+        # buffer) is ~6.6 GB per 64 spp at full image — 128 spp
+        # (~13 GB) fits the 16 GB HBM, 256 would not; the ~60 s
+        # single-execution wall is also comfortable (one backward call
+        # ~ chunk/8 x 0.93 s).
+        chunk = min(128, max(DIFF_SAMPLE_BUDGET, cfg.spp // 4))
     else:
         chunk = spp_chunk
     if cfg.spp % chunk != 0:
@@ -129,8 +132,12 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
     @jax.jit
     def bwd_chunk(scene, params, camera, seed, lo, cot):
         def rad_of(p, c):
+            # sample_budget=chunk: this call IS the chunking — one
+            # custom_vjp chain per backward call, no inner remat split
+            # (each split sub-chunk would re-run a spill-forward).
             rad, _ = trace_tiles_diff(combine(scene, p), c, cfg, seed,
-                                      sample_lo=lo, n_samples=chunk)
+                                      sample_lo=lo, n_samples=chunk,
+                                      sample_budget=chunk)
             return rad
         _, vjp = jax.vjp(rad_of, params, camera)
         return vjp(cot)

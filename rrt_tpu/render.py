@@ -763,7 +763,8 @@ def tile_chains_diff(cfg: RenderConfig, n_samples: int) -> int:
 def trace_tiles_diff(scene: SceneArrays, camera: Camera,
                      cfg: RenderConfig, seed, sample_lo=0,
                      n_samples: int | None = None,
-                     chains: int | None = None):
+                     chains: int | None = None,
+                     sample_budget: int | None = None):
     """Reverse-differentiable tile-resident render (fused train path).
 
     Same contract as trace_tiles — (radiance sums (P,3), n_traced) —
@@ -774,15 +775,21 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
     Requires mkt.supports_train(scene) (image-on-media textures and
     >4 media fall back to trace_batch's scan path via render_image).
 
-    Sample budgets beyond DIFF_SAMPLE_BUDGET accumulate over sample_lo
-    chunks (a python loop of custom_vjp chains; AD sums the pack
-    cotangents across chunks automatically), keeping the backward's
-    segment-boundary buffer inside its VMEM budget at ANY spp — this is
-    what makes the 500spp north-star config trainable end to end."""
+    Sample budgets beyond `sample_budget` (default DIFF_SAMPLE_BUDGET)
+    accumulate over sample_lo chunks (a python loop of custom_vjp
+    chains; AD sums the pack cotangents across chunks automatically),
+    keeping the backward's segment-boundary buffer inside its VMEM
+    budget at ANY spp — this is what makes the 500spp north-star config
+    trainable end to end. Callers that already bound per-call samples
+    externally (the chunked trainer) raise sample_budget to their chunk
+    size so each backward call is ONE chain: the remat split re-runs a
+    spill-forward per sub-chunk, worth ~8% of the 500spp step wall
+    (73.5 -> 67.5 s measured)."""
     from .ops import megakernel_train as mkt
 
+    budget = sample_budget or DIFF_SAMPLE_BUDGET
     n_samples = cfg.spp if n_samples is None else n_samples
-    if n_samples > DIFF_SAMPLE_BUDGET:
+    if n_samples > budget:
         # Each chunk rematerializes (jax.checkpoint): without it, a
         # nonlinear loss forces every chunk's backward residual — the
         # segment-boundary buffer, ~6.6 GB/chunk at chains=1 full-image
@@ -792,12 +799,12 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
         # residual for ~1.3x the forward cost.
         rad = jnp.zeros((cfg.width * cfg.height, 3), jnp.float32)
         nt = jnp.zeros((), jnp.float32)
-        for lo in range(0, n_samples, DIFF_SAMPLE_BUDGET):
+        for lo in range(0, n_samples, budget):
             def chunk_fn(scene, camera, lo=lo):
                 return trace_tiles_diff(
                     scene, camera, cfg, seed,
                     sample_lo=jnp.asarray(sample_lo) + lo,
-                    n_samples=min(DIFF_SAMPLE_BUDGET, n_samples - lo),
+                    n_samples=min(budget, n_samples - lo),
                     chains=chains)
             r, n = jax.checkpoint(chunk_fn)(scene, camera)
             rad = rad + r
