@@ -187,6 +187,36 @@ def _pad_to(n: int, lane: int = _LANE) -> int:
     return max(lane, ((n + lane - 1) // lane) * lane)
 
 
+def resample_image(im: np.ndarray, ah: int, aw: int,
+                   method: str = "nearest") -> np.ndarray:
+    """Host-side (h,w,3) -> (ah,aw,3) resample. "nearest" preserves
+    exact texel values (what the golden oracle samples); "bilinear"
+    smooths real photographs. Used for the shared texture atlas grid
+    (SceneBuilder.build) and the CLI's --texture-max cap."""
+    f32 = np.float32
+    im = np.asarray(im, f32)
+    h, w = im.shape[:2]
+    if (h, w) == (ah, aw):
+        return im
+    if method == "bilinear":
+        yf = (np.arange(ah, dtype=np.float64) + 0.5) * h / ah - 0.5
+        xf = (np.arange(aw, dtype=np.float64) + 0.5) * w / aw - 0.5
+        y0 = np.clip(np.floor(yf).astype(np.int64), 0, h - 1)
+        x0 = np.clip(np.floor(xf).astype(np.int64), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        ty = np.clip(yf - y0, 0.0, 1.0).astype(f32)[:, None, None]
+        tx = np.clip(xf - x0, 0.0, 1.0).astype(f32)[None, :, None]
+        top = (im[y0[:, None], x0[None, :]] * (1 - tx)
+               + im[y0[:, None], x1[None, :]] * tx)
+        bot = (im[y1[:, None], x0[None, :]] * (1 - tx)
+               + im[y1[:, None], x1[None, :]] * tx)
+        return top * (1 - ty) + bot * ty
+    yi = (np.arange(ah) * h // ah).clip(0, h - 1)
+    xi = (np.arange(aw) * w // aw).clip(0, w - 1)
+    return im[yi[:, None], xi[None, :]]
+
+
 def _rot_y(deg: float) -> np.ndarray:
     r = math.radians(deg)
     c, s = math.cos(r), math.sin(r)
@@ -514,31 +544,8 @@ class SceneBuilder:
             images = np.zeros((len(self._images), ah, aw, 3), f32)
             for i, (im, resample) in enumerate(self._images):
                 # Resample onto the atlas grid so uv lookups need no
-                # per-image shape metadata on device. Nearest preserves
-                # exact texel values; bilinear smooths real photographs.
-                h, w = im.shape[:2]
-                if resample == "bilinear" and (h, w) != (ah, aw):
-                    yf = (np.arange(ah, dtype=np.float64) + 0.5) \
-                        * h / ah - 0.5
-                    xf = (np.arange(aw, dtype=np.float64) + 0.5) \
-                        * w / aw - 0.5
-                    y0 = np.clip(np.floor(yf).astype(np.int64), 0, h - 1)
-                    x0 = np.clip(np.floor(xf).astype(np.int64), 0, w - 1)
-                    y1 = np.minimum(y0 + 1, h - 1)
-                    x1 = np.minimum(x0 + 1, w - 1)
-                    ty = np.clip(yf - y0, 0.0, 1.0).astype(
-                        f32)[:, None, None]
-                    tx = np.clip(xf - x0, 0.0, 1.0).astype(
-                        f32)[None, :, None]
-                    top = (im[y0[:, None], x0[None, :]] * (1 - tx)
-                           + im[y0[:, None], x1[None, :]] * tx)
-                    bot = (im[y1[:, None], x0[None, :]] * (1 - tx)
-                           + im[y1[:, None], x1[None, :]] * tx)
-                    images[i] = top * (1 - ty) + bot * ty
-                else:
-                    yi = (np.arange(ah) * h // ah).clip(0, h - 1)
-                    xi = (np.arange(aw) * w // aw).clip(0, w - 1)
-                    images[i] = im[yi[:, None], xi[None, :]]
+                # per-image shape metadata on device.
+                images[i] = resample_image(im, ah, aw, resample)
         else:
             images = np.zeros((1, 1, 1, 3), f32)
 

@@ -144,6 +144,24 @@ def test_cli_texture_flag(tmp_path):
     assert "no image texture" in r.stderr
 
 
+def test_cli_texture_max_caps_atlas(tmp_path):
+    """Oversized texture files are resampled down to --texture-max on
+    host (the kernel's atlas is VMEM-resident; lookup cost scales with
+    its area) with the chosen filter."""
+    rg = np.random.default_rng(9)
+    img8 = rg.integers(0, 256, (64, 128, 3), dtype=np.uint8)
+    tex = str(tmp_path / "big.ppm")
+    rio.write_ppm(tex, img8)
+    out = str(tmp_path / "o.png")
+    r = _run_cli("--scene", "earth", "-r", "16x9", "-s", "1",
+                 "--max-depth", "3", "-o", out, "--texture", tex,
+                 "--texture-max", "32x16", "--texture-filter",
+                 "bilinear")
+    assert r.returncode == 0, r.stderr
+    assert "-> 16x32 (bilinear" in r.stderr
+    assert os.path.exists(out)
+
+
 def test_builder_bilinear_atlas_resample():
     """When images of different sizes share one atlas, bilinear
     resampling interpolates a ramp exactly while nearest snaps it."""
