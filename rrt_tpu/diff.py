@@ -165,16 +165,32 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
             return fallback[0](scene, camera, target, seed)
         seed = jnp.asarray(seed)
         params = partition(scene)
-        rad_sum = jnp.zeros((n_pix, 3), jnp.float32)
-        for lo in range(0, cfg.spp, chunk):
+        # Chunk 0 runs its forward through an (eager) jax.vjp so its
+        # spill residuals survive until the cotangent exists: its
+        # backward then needs NO re-render. Only one chunk can do this
+        # — the residual (segment-boundary buffer) is ~6.6 GB per 64
+        # full-image spp, so holding every chunk's would blow HBM;
+        # holding exactly one saves one spill-forward (~9% of the
+        # 500spp step) for ~13 GB of temporarily parked HBM.
+        from .render import trace_tiles_diff as _ttd
+
+        def rad_of0(p, c):
+            rad, _ = _ttd(combine(scene, p), c, cfg, seed,
+                          sample_lo=0, n_samples=chunk,
+                          sample_budget=chunk)
+            return rad
+        rad0, vjp0 = jax.vjp(rad_of0, params, camera)
+        rad_sum = rad0
+        for lo in range(chunk, cfg.spp, chunk):
             r, _ = fwd_chunk(scene, camera, seed, lo)
             rad_sum = rad_sum + r
         loss, cot = loss_and_cot(rad_sum, target)
-        gp = gc = None
-        for lo in range(0, cfg.spp, chunk):
+        gp, gc = vjp0(cot)
+        del vjp0, rad0  # free chunk 0's residual before the next vjp
+        for lo in range(chunk, cfg.spp, chunk):
             dgp, dgc = bwd_chunk(scene, params, camera, seed, lo, cot)
-            gp = dgp if gp is None else jax.tree.map(jnp.add, gp, dgp)
-            gc = dgc if gc is None else jax.tree.map(jnp.add, gc, dgc)
+            gp = jax.tree.map(jnp.add, gp, dgp)
+            gc = jax.tree.map(jnp.add, gc, dgc)
         new_params, new_camera = apply_sgd(params, camera, gp, gc)
         return combine(scene, new_params), new_camera, loss
 
