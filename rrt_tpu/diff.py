@@ -109,12 +109,14 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
     if cfg.spp % chunk != 0:
         chunk = next(c for c in range(chunk, 0, -1) if cfg.spp % c == 0)
     n_pix = cfg.width * cfg.height
-    # The differentiable paths use exact depth-termination (rr changes
-    # the estimator); the forward chunks must match the backward's
-    # estimator or the cotangent is evaluated at a different image than
-    # the one gradients flow through.
-    cfg_fwd = (dataclasses.replace(cfg, rr_depth=0) if cfg.rr_depth
-               else cfg)
+    # The forward chunks must match the backward's estimator (the
+    # cotangent is evaluated at the image gradients flow through).
+    # Round 4: the differentiable paths honor rr_depth (replayed kill +
+    # detached 1/p weight), and trace_tiles' in-kernel RR is
+    # draw-identical to the train kernel's, so cfg passes through
+    # unchanged — a 500-spp step with rr_depth=4 drops both the forward
+    # chunks' and the backward replays' straggler tails.
+    cfg_fwd = cfg
 
     @jax.jit
     def fwd_chunk(scene, camera, seed, lo):

@@ -285,7 +285,8 @@ def _train_fwd_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
                       seg_k, s_tiles, q_tiles, b_tiles, moving,
                       has_quads, has_boxes, has_rot_boxes, has_perlin,
                       has_images, img_ah, img_aw, n_media, t_min,
-                      max_depth, cull_s, cull_q, cull_b, fam_n=None):
+                      max_depth, cull_s, cull_q, cull_b, fam_n=None,
+                      rr_depth=0):
     s0 = seed_ref[0]
     s1 = seed_ref[1]
     lo = seed_ref[2]
@@ -296,7 +297,7 @@ def _train_fwd_kernel(meta_ref, seed_ref, cam_ref, sph_ref, quad_ref,
               sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
               has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
-              fam_n=fam_n)
+              fam_n=fam_n, rr_depth=rr_depth)
     adv_kw = dict(meta_ref=meta_ref, cam_ref=cam_ref, s0=s0, s1=s1,
                   lo=lo, spp=spp, chains=chains)
 
@@ -374,7 +375,7 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                       has_quads, has_boxes, has_rot_boxes, has_perlin,
                       has_images, img_ah, img_aw, n_media, t_min,
                       max_depth, cull_s, cull_q, cull_b, fam_n=None,
-                      ablate=None, aux_spill=False):
+                      rr_depth=0, ablate=None, aux_spill=False):
     # `ablate` is a MEASUREMENT-ONLY knob (benchmarks/bwd_profile.py,
     # VERDICT r3 #3): "replay" stops after the segment replay loops,
     # "rederive" adds the reverse sweep's aux re-derivation but skips
@@ -415,7 +416,7 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
               sb_ref=sb_ref, qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
               has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
-              fam_n=fam_n)
+              fam_n=fam_n, rr_depth=rr_depth)
     adv_kw = dict(meta_ref=meta_ref, cam_ref=cam_ref, s0=s0, s1=s1,
                   lo=lo, spp=spp, chains=chains)
 
@@ -621,13 +622,18 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
                     logu.append(jnp.log(jnp.maximum(
                         rng._to_uniform(b_w), 1e-12)))
                 consts["med_logu"] = logu
+            if rr_depth:
+                # Bounce row of the step's input state (same compare as
+                # the kernel's RR block; the kill is already in
+                # consts["survives"], this only gates the 1/p weight).
+                consts["rr_on"] = rows_f[13] >= jnp.float32(rr_depth)
 
             g = mkv._make_diff_step(
                 consts, moving=moving, has_quads=has_quads,
                 has_boxes=has_boxes, has_rot_boxes=has_rot_boxes,
                 has_perlin=has_perlin, has_images=has_images,
                 img_ah=img_ah, img_aw=img_aw, n_media=n_media,
-                t_min=t_min)
+                t_min=t_min, rr_depth=rr_depth)
 
             finf = fl["finf"]
             regf = fl["regen"].astype(jnp.float32)
@@ -964,7 +970,8 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
                      has_rot_boxes: bool, has_perlin: bool,
                      has_images: bool, img_ah: int, img_aw: int,
                      max_depth: int, t_min: float, n_media: int = 0,
-                     fam_n=None, aux_spill: bool | None = None):
+                     fam_n=None, aux_spill: bool | None = None,
+                     rr_depth: int = 0):
     """The tile-resident renderer as a reverse-differentiable primitive.
 
     chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8, atlas,
@@ -974,6 +981,13 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
     for cam24 and every primitive/medium pack — scene/camera gradients
     then flow through the (tiny, dense) XLA transposes of the pack_*
     functions.
+
+    rr_depth: Russian roulette (round 4) — the forward spill kernel
+    kills via megakernel._one_bounce's RR block, the replay re-draws
+    the same STREAM_RR coins, and the reverse sweep applies the 1/p
+    weight DETACHED (megakernel_vjp._make_diff_step), keeping gradients
+    in the detached-sampling class. On the 500-spp north star both the
+    forward chunks and the backward replays shed their straggler tails.
 
     aux_spill (None = RRT_AUX_SPILL env, default on): the backward
     spills winner blocks from the replay loop instead of re-running the
@@ -989,7 +1003,7 @@ def tile_train_chain(spp: int, chains: int, moving: bool,
                  has_rot_boxes=has_rot_boxes, has_perlin=has_perlin,
                  has_images=has_images, img_ah=img_ah, img_aw=img_aw,
                  n_media=n_media, t_min=t_min, max_depth=float(max_depth),
-                 fam_n=fam_n)
+                 fam_n=fam_n, rr_depth=rr_depth)
 
     @jax.custom_vjp
     def chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,

@@ -74,7 +74,7 @@ def supports_backward(scene: SceneArrays) -> bool:
 
 def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
                     has_perlin, has_images,
-                    img_ah, img_aw, n_media=0, t_min=1e-3):
+                    img_ah, img_aw, n_media=0, t_min=1e-3, rr_depth=0):
     """Build g(*diff_ins) -> 13 continuous output rows.
 
     c: dict of replayed constants (closure, not differentiated).
@@ -82,7 +82,16 @@ def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
     [sel_q], [sel_b], 6 bg rows, [atlas], then for each medium slot
     11 rows (center xyz, radius, half xyz, neg_inv_density, albedo
     rgb). Media constants in c: use_med, win_med, med_is_sph[mi],
-    med_rot[mi] (9 scalars), med_logu[mi]."""
+    med_rot[mi] (9 scalars), med_logu[mi].
+
+    rr_depth: Russian roulette (megakernel._one_bounce's in-kernel
+    form). The continuation decision is already folded into the
+    replayed c["survives"]; here only the survivor's throughput weight
+    changes to th*at/p with p = clamp(max component of th*at, 0.05, 1)
+    DETACHED (stop_gradient) — the RR weight is a replayed sampling
+    constant, like the discrete decisions, so the gradient estimator
+    stays the same detached-sampling class as reflect-vs-refract
+    (SURVEY.md §7). Requires c["rr_on"] (bounce >= rr_depth)."""
 
     def g(*args):
         (ox, oy, oz, dx, dy, dz, time, thx, thy, thz,
@@ -448,9 +457,22 @@ def _make_diff_step(c, *, moving, has_quads, has_boxes, has_rot_boxes,
         dx2 = jnp.where(sv, ndx, dx)
         dy2 = jnp.where(sv, ndy, dy)
         dz2 = jnp.where(sv, ndz, dz)
-        thx2 = jnp.where(sv, thx * atr, thx)
-        thy2 = jnp.where(sv, thy * atg, thy)
-        thz2 = jnp.where(sv, thz * atb, thz)
+        if rr_depth:
+            # Same op order as the kernel's RR block
+            # (megakernel._one_bounce): post-attenuation throughput,
+            # then the clamp. p is detached — see the docstring.
+            tnx, tny, tnz = thx * atr, thy * atg, thz * atb
+            p_rr = jnp.clip(jnp.maximum(tnx, jnp.maximum(tny, tnz)),
+                            0.05, 1.0)
+            inv_p = jnp.where(c["rr_on"],
+                              1.0 / jax.lax.stop_gradient(p_rr), 1.0)
+            thx2 = jnp.where(sv, tnx * inv_p, thx)
+            thy2 = jnp.where(sv, tny * inv_p, thy)
+            thz2 = jnp.where(sv, tnz * inv_p, thz)
+        else:
+            thx2 = jnp.where(sv, thx * atr, thx)
+            thy2 = jnp.where(sv, thy * atg, thy)
+            thz2 = jnp.where(sv, thz * atb, thz)
         return (ox2, oy2, oz2, dx2, dy2, dz2, time,
                 thx2, thy2, thz2, pex, pey, pez)
 
@@ -470,7 +492,7 @@ def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
                 q_tiles, b_tiles, moving, has_quads, has_boxes,
                 has_rot_boxes, has_perlin, has_images,
                 img_ah, img_aw, t_min, max_depth, cull_s, cull_q,
-                cull_b, fam_n=None):
+                cull_b, fam_n=None, rr_depth=0):
     # Grad accumulators are revisited by every (sequential) grid step:
     # zero them once.
     @pl.when(pl.program_id(0) == 0)
@@ -506,7 +528,8 @@ def _bwd_kernel(state_ref, keys_ref, sph_ref, quad_ref, box_ref,
                        img_aw=img_aw, t_min=t_min, max_depth=max_depth,
                        sb_ref=sb_ref, qb_ref=qb_ref, bb_ref=bb_ref,
                        cull_s=cull_s,
-                       cull_q=cull_q, cull_b=cull_b, fam_n=fam_n)
+                       cull_q=cull_q, cull_b=cull_b, fam_n=fam_n,
+                       rr_depth=rr_depth)
 
 
 def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
@@ -519,7 +542,7 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
                    has_perlin, has_images, img_ah,
                    img_aw, t_min, max_depth, sb_ref, qb_ref, bb_ref,
                    cull_s,
-                   cull_q, cull_b, fam_n=None):
+                   cull_q, cull_b, fam_n=None, rr_depth=0):
     k0 = keys_ref[0:1, :]
     k1 = keys_ref[1:2, :]
     bk = dict(s_tiles=s_tiles, q_tiles=q_tiles, moving=moving,
@@ -529,7 +552,7 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
               qb_ref=qb_ref, cull_s=cull_s, cull_q=cull_q,
               box_ref=box_ref, b_tiles=b_tiles, has_boxes=has_boxes,
               has_rot_boxes=has_rot_boxes, bb_ref=bb_ref, cull_b=cull_b,
-              fam_n=fam_n)
+              fam_n=fam_n, rr_depth=rr_depth)
 
     # --- replay: fori_loop over the K steps (kernel size independent of
     # K), spilling each step's input state to a VMEM scratch so the
@@ -605,12 +628,17 @@ def _bwd_tile_body(st, keys_ref, sph_ref, quad_ref, box_ref, atlas_ref,
             consts["is_img"] = aux["is_img"]
             consts["xi"] = aux["xi"]
             consts["img_row"] = aux["img_row"]
+        if rr_depth:
+            # Bounce row (f32) of the step's input state — same compare
+            # as the kernel's RR block.
+            consts["rr_on"] = s_rows[13] >= jnp.float32(rr_depth)
 
         g = _make_diff_step(consts, moving=moving, has_quads=has_quads,
                             has_boxes=has_boxes,
                             has_rot_boxes=has_rot_boxes,
                             has_perlin=has_perlin, has_images=has_images,
-                            img_ah=img_ah, img_aw=img_aw)
+                            img_ah=img_ah, img_aw=img_aw,
+                            rr_depth=rr_depth)
         diff_ins = list(s_rows[:13]) + [sel_s]
         if has_quads:
             diff_ins.append(sel_q)
@@ -703,7 +731,7 @@ def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
               d_out, *,
               k_steps, moving, has_quads, has_boxes, has_rot_boxes,
               has_perlin, has_images,
-              img_ah, img_aw, t_min, max_depth, fam_n=None):
+              img_ah, img_aw, t_min, max_depth, fam_n=None, rr_depth=0):
     q = state.shape[1]
     s_count = sph24.shape[1]
     q_count = quad24.shape[1]
@@ -720,7 +748,8 @@ def _bwd_call(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb,
         has_rot_boxes=has_rot_boxes,
         has_perlin=has_perlin, has_images=has_images, img_ah=img_ah,
         img_aw=img_aw, t_min=t_min, max_depth=float(max_depth),
-        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b, fam_n=fam_n)
+        cull_s=cull_s, cull_q=cull_q, cull_b=cull_b, fam_n=fam_n,
+        rr_depth=rr_depth)
 
     grid = (q // TN,)
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -785,7 +814,7 @@ def bounce_chain(k_steps: int, moving: bool, has_quads: bool,
                  has_perlin: bool, has_images: bool, img_ah: int,
                  img_aw: int, max_depth: int, t_min: float,
                  has_boxes: bool = False, has_rot_boxes: bool = False,
-                 fam_n=None):
+                 fam_n=None, rr_depth: int = 0):
     """K fused bounce steps as a reverse-differentiable primitive.
 
     Returns chain(state, keys, sph24, quad24, box24, bg8, atlas, sb,
@@ -798,7 +827,7 @@ def bounce_chain(k_steps: int, moving: bool, has_quads: bool,
                   has_boxes=has_boxes, has_rot_boxes=has_rot_boxes,
                   has_perlin=has_perlin, has_images=has_images,
                   img_ah=img_ah, img_aw=img_aw, t_min=t_min,
-                  max_depth=max_depth, fam_n=fam_n)
+                  max_depth=max_depth, fam_n=fam_n, rr_depth=rr_depth)
 
     @jax.custom_vjp
     def chain(state, keys, sph24, quad24, box24, bg8, atlas, sb, qb, bb):

@@ -278,7 +278,8 @@ def trace_tiles_diff_sharded(scene: SceneArrays, camera: Camera,
             scene.has_boxes, scene.has_rot_boxes, scene.has_perlin,
             scene.has_images, scene.images.shape[1],
             scene.images.shape[2], cfg.max_depth, cfg.t_min,
-            n_media=scene.n_media_active, fam_n=scene.fam_n)
+            n_media=scene.n_media_active, fam_n=scene.fam_n,
+            rr_depth=cfg.rr_depth)
 
     def shard_fn(meta_l, scene, camera, s0, s1, base_lo):
         sp_rank = jax.lax.axis_index("sp").astype(jnp.uint32)

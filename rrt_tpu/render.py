@@ -70,9 +70,14 @@ class RenderConfig:
     # p = clamp(max throughput component, 0.05, 1) and divide the
     # survivor's throughput by p (unbiased; shortens the depth-50
     # straggler tail). 0 = off (the books' method and the default —
-    # golden comparisons and the differentiable paths use exact
-    # depth-termination; rr changes the estimator's variance, not its
-    # mean). Forward drivers only; render_image_diff ignores it.
+    # golden comparisons use exact depth-termination; rr changes the
+    # estimator's variance, not its mean). Honored by every driver,
+    # including the differentiable paths (round 4): the kill decision
+    # replays like other discrete decisions and the 1/p weight is
+    # detached, so scene/camera gradients stay in the same
+    # detached-sampling class as reflect-vs-refract. The 500-spp
+    # north-star train step drops ~20%+ of its wall with rr_depth=4 at
+    # an image delta far below sampling noise (BASELINE.md).
     rr_depth: int = 0
 
 
@@ -170,7 +175,13 @@ def _apply_rr(keys, bounce, throughput, attenuation, survives,
     u = rng.rr_draw(keys, bounce)
     rr_on = jnp.asarray(bounce) >= rr_depth
     survives = survives & ((~rr_on) | (u < p))
-    inv_p = jnp.where(rr_on, 1.0 / p, 1.0)
+    # The 1/p weight is DETACHED: like the discrete decisions, the RR
+    # acceptance probability is a replayed sampling constant under
+    # differentiation (stop_gradient is the identity on the primal, so
+    # forward renders are unchanged). Keeps the differentiable paths'
+    # estimator in the same detached-sampling class as
+    # reflect-vs-refract (SURVEY.md §7).
+    inv_p = jnp.where(rr_on, 1.0 / jax.lax.stop_gradient(p), 1.0)
     return V3.where(survives, t_new * inv_p, throughput), survives
 
 
@@ -224,7 +235,8 @@ def _compact_lanes(st, keys, lane):
 
 def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
                       max_depth: int, t_min: float,
-                      schedule: tuple | None = None):
+                      schedule: tuple | None = None,
+                      rr_depth: int = 0):
     """Reverse-differentiable trace through the fused bounce chain.
 
     The (max_depth+1)-bounce path runs as a few custom_vjp megakernel
@@ -272,7 +284,8 @@ def trace_batch_fused(scene: SceneArrays, o: V3, d: V3, time, keys,
             scene.has_images, scene.images.shape[1],
             scene.images.shape[2], max_depth, t_min,
             has_boxes=scene.has_boxes,
-            has_rot_boxes=scene.has_rot_boxes, fam_n=scene.fam_n)
+            has_rot_boxes=scene.has_rot_boxes, fam_n=scene.fam_n,
+            rr_depth=rr_depth)
         st = chain(st, keys, sph24, quad24, box24, bg8, atlas, sb, qb,
                    bb)
         if j < len(schedule) - 1:
@@ -294,12 +307,15 @@ def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,
     """Trace a fixed ray batch to completion.
 
     keys: (N,2) per-lane sample key words (rng.sample_keys).
-    rr_depth: Russian roulette (forward only — the differentiable paths
-    keep exact depth-termination; see RenderConfig.rr_depth).
+    rr_depth: Russian roulette. Differentiable paths support it too
+    (round 4): the continuation decision replays like every other
+    discrete decision and the 1/p weight is detached (_apply_rr /
+    megakernel_vjp._make_diff_step), so gradients stay in the
+    detached-sampling class; see RenderConfig.rr_depth.
     Returns (radiance V3, n_traced ())."""
     if differentiable and fused_vjp:
         return trace_batch_fused(scene, o, d, time, keys, max_depth,
-                                 t_min)
+                                 t_min, rr_depth=rr_depth)
     n = o.x.shape[0]
     carry0 = (o, d, time,
               V3.ones((n,)),  # throughput
@@ -308,8 +324,7 @@ def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,
               jnp.zeros((), jnp.float32))  # rays traced (f32: metric only)
 
     body = partial(_bounce_body, scene, t_min, keys, max_depth=max_depth,
-                   packed=packed,
-                   rr_depth=0 if differentiable else rr_depth)
+                   packed=packed, rr_depth=rr_depth)
 
     if differentiable:
         ckpt_body = jax.checkpoint(lambda c, b: body(c, b))
@@ -836,7 +851,8 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
         n_samples, chains, scene.has_moving, scene.has_quads,
         scene.has_boxes, scene.has_rot_boxes, scene.has_perlin,
         scene.has_images, scene.images.shape[1], scene.images.shape[2],
-        cfg.max_depth, cfg.t_min, n_media=n_media, fam_n=scene.fam_n)
+        cfg.max_depth, cfg.t_min, n_media=n_media, fam_n=scene.fam_n,
+        rr_depth=cfg.rr_depth)
     out = chain(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
                 atlas, sb, qb, bb)
     gid = meta[2].astype(jnp.int32)

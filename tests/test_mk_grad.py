@@ -36,7 +36,7 @@ def _interpret_pallas(monkeypatch):
 
 
 def _compare(scene, cam, w, h, max_depth=3, schedule=(2, 2), n=None,
-             rtol=2e-3):
+             rtol=2e-3, rr_depth=0):
     n = mk.TN if n is None else n  # chains need TN-aligned batches
     ids = jnp.arange(n, dtype=jnp.int32)
     px, py = ids % w, (ids // w) % h
@@ -50,10 +50,12 @@ def _compare(scene, cam, w, h, max_depth=3, schedule=(2, 2), n=None,
             o, d, tm = generate_rays(camera, px, py, w, h, keys)
             if fused:
                 rad, _ = trace_batch_fused(s, o, d, tm, keys, max_depth,
-                                           1e-3, schedule=schedule)
+                                           1e-3, schedule=schedule,
+                                           rr_depth=rr_depth)
             else:
                 rad, _ = trace_batch(s, o, d, tm, keys, max_depth, 1e-3,
-                                     differentiable=True)
+                                     differentiable=True,
+                                     rr_depth=rr_depth)
             return jnp.sum(weight * (rad.x + 0.7 * rad.y + 0.3 * rad.z))
 
         return loss
@@ -89,6 +91,17 @@ def test_chain_grads_chap12():
     scene, cam = chap12_scene(32, 18)
     assert mkv.supports_backward(scene)
     _compare(scene, cam, 32, 18)
+
+
+@pytest.mark.slow
+def test_chain_grads_russian_roulette():
+    """cfg.rr_depth through the fused-vjp chain path (round 4): the RR
+    kill replays, the 1/p weight is detached — gradients must match the
+    XLA scan path with the same rr (same STREAM_RR draws)."""
+    scene, cam = chap12_scene(32, 18)
+    assert mkv.supports_backward(scene)
+    _compare(scene, cam, 32, 18, max_depth=5, schedule=(3, 3),
+             rr_depth=2)
 
 
 @pytest.mark.slow

@@ -40,8 +40,9 @@ def _interpret_pallas(monkeypatch):
 
 def _compare(scene, cam, w, h, spp=2, max_depth=3, rtol=2e-3,
              sample_lo=0, cam_rtol=1e-2, expect_nonzero=(),
-             flip_slack=0.0):
-    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=max_depth)
+             flip_slack=0.0, rr_depth=0):
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=max_depth,
+                       rr_depth=rr_depth)
     n_pix = w * h
 
     def rad_tile(params, camera):
@@ -61,7 +62,7 @@ def _compare(scene, cam, w, h, spp=2, max_depth=3, rtol=2e-3,
                                    samp)
             o, d, tm = generate_rays(camera, px, py, w, h, keys)
             rad, _ = trace_batch(s, o, d, tm, keys, max_depth, 1e-3,
-                                 differentiable=True)
+                                 differentiable=True, rr_depth=rr_depth)
             tot = tot + jnp.stack([rad.x, rad.y, rad.z], axis=-1)
         return tot
 
@@ -165,6 +166,26 @@ def test_tile_grads_cornell_box_family():
     scene, cam = cornell_box_scene(24, 24)
     assert scene.has_boxes and scene.has_rot_boxes
     _compare(scene, cam, 24, 24)
+
+
+@pytest.mark.slow
+def test_tile_grads_russian_roulette():
+    """cfg.rr_depth through the fused train path (round 4): the RR kill
+    replays like every other discrete decision and the 1/p weight is
+    detached, so gradients must match the XLA scan path's rr gradients
+    (same draws — STREAM_RR word a — same detachment). max_depth=6 with
+    rr_depth=2 gives the roulette real work on cornell's long
+    lambertian paths; the kill shows up as a different traced-ray count
+    vs rr-off, asserted so the test has power."""
+    scene, cam = cornell_box_scene(24, 24)
+    cfg_on = RenderConfig(width=24, height=24, spp=1, max_depth=6,
+                          rr_depth=2)
+    cfg_off = dataclasses.replace(cfg_on, rr_depth=0)
+    _, n_on = trace_tiles_diff(scene, cam, cfg_on, 0)
+    _, n_off = trace_tiles_diff(scene, cam, cfg_off, 0)
+    assert float(n_on) < float(n_off), "rr never killed a path"
+    _compare(scene, cam, 24, 24, spp=1, max_depth=6, rr_depth=2,
+             cam_rtol=None)
 
 
 @pytest.mark.slow
@@ -302,19 +323,19 @@ def test_make_train_step_chunked_matches_oneshot(monkeypatch):
                                        rtol=2e-4, atol=1e-7)
 
 
-def test_chunked_trainer_ignores_rr_and_accepts_chunk_zero(monkeypatch):
-    """The differentiable paths use exact depth-termination, so a
-    cfg.rr_depth left over from rendering must not leak into the
-    chunked trainer's forward pass (or the cotangent is evaluated at a
-    different image than gradients flow through): the step must equal
-    the rr-off step exactly. spp_chunk=0 means auto (it used to
+def test_chunked_trainer_honors_rr_and_accepts_chunk_zero(monkeypatch):
+    """Round 4: cfg.rr_depth flows through the differentiable paths
+    (replayed kill + detached 1/p weight), so the chunked trainer with
+    rr must reproduce the ONE-SHOT rr step (forward chunks and backward
+    replays share the estimator), and must NOT equal the rr-off step
+    (rr actually engaged). spp_chunk=0 means auto (it used to
     ZeroDivisionError)."""
-    from rrt_tpu.diff import make_train_step_chunked
+    from rrt_tpu.diff import make_train_step, make_train_step_chunked
     from rrt_tpu.scenes import chap11_scene
 
     monkeypatch.setenv("RRT_INTERPRET", "1")
-    cfg = RenderConfig(width=16, height=8, spp=4, max_depth=3)
-    cfg_rr = dataclasses.replace(cfg, rr_depth=2)
+    cfg = RenderConfig(width=16, height=8, spp=4, max_depth=6)
+    cfg_rr = dataclasses.replace(cfg, rr_depth=1)
     scene, cam = chap11_scene(cfg.width, cfg.height)
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
@@ -322,9 +343,13 @@ def test_chunked_trainer_ignores_rr_and_accepts_chunk_zero(monkeypatch):
         scene, cam, target, 0)
     s1, c1, l1 = make_train_step_chunked(cfg_rr, spp_chunk=2)(
         scene, cam, target, 0)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves((s0, c0)),
-                    jax.tree_util.tree_leaves((s1, c1))):
+    s2, c2, l2 = make_train_step(cfg_rr)(scene, cam, target, 0)
+    # rr engaged: the estimator (and thus the loss) differs from rr-off.
+    assert float(l1) != pytest.approx(float(l0), rel=1e-6)
+    # chunked rr step == one-shot rr step (same estimator, same keys).
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves((s1, c1)),
+                    jax.tree_util.tree_leaves((s2, c2))):
         if a.dtype.kind == "f":
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-7)
