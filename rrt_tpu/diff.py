@@ -98,12 +98,16 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
         # 500spp north star measured 77.0 s at chunk=64, 76.1 at 100,
         # 73.5 at 125 with the remat split, 67.5 s at 125 as one chain
         # per backward call (BASELINE.md "North-star training", round
-        # 4). Cap at 128: the backward residual (segment-boundary
-        # buffer) is ~6.6 GB per 64 spp at full image — 128 spp
-        # (~13 GB) fits the 16 GB HBM, 256 would not; the ~60 s
-        # single-execution wall is also comfortable (one backward call
-        # ~ chunk/8 x 0.93 s).
-        chunk = min(128, max(DIFF_SAMPLE_BUDGET, cfg.spp // 4))
+        # 4). Cap at 256: chunks above 128 spp raise the train kernels'
+        # segment length K 48 -> 96 (megakernel_train._seg_k `big`),
+        # halving the backward residual per spp — a 256-spp chunk parks
+        # the same ~13 GB a 128-spp chunk needed at K=48, and halving
+        # the chunk count halves the spill-forward re-renders. spp // 2
+        # (not // 4): two chunks means exactly ONE chunk pays a
+        # re-render (chunk 0 parks its residual across the cotangent
+        # barrier). The ~60 s single-execution wall stays comfortable
+        # (one 250-spp backward call ~ 25 s).
+        chunk = min(256, max(DIFF_SAMPLE_BUDGET, cfg.spp // 2))
     else:
         chunk = spp_chunk
     if cfg.spp % chunk != 0:

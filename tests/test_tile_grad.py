@@ -293,6 +293,45 @@ def test_tile_grads_sample_chunking():
     assert total > 0.0
 
 
+@pytest.mark.slow
+def test_seg_k_big_chunk_matches_small_chunks():
+    """Sample budgets above 128 raise the segment-length cap K 48 -> 96
+    (megakernel_train._seg_k `big`), halving the boundary residual so
+    the chunked trainer can use 256-spp chunks. The forward spill and
+    backward replay must agree on K (the forward writes the boundaries
+    the backward reloads), and the estimator is chunk-invariant: one
+    144-sample chain at depth 30 (K=72 via the raised cap) must
+    reproduce the 3x48-sample split (K=48) loss and gradients."""
+    from rrt_tpu.scenes import chap11_scene
+
+    scene, cam = chap11_scene(16, 8)
+    cfg = RenderConfig(width=16, height=8, spp=144, max_depth=30)
+    assert mkt._seg_k(144 * 32 + 1, big=True) > 48
+    params = partition(scene)
+
+    def loss(p, budget):
+        rad, _ = trace_tiles_diff(combine(scene, p), cam, cfg, 0,
+                                  n_samples=144, sample_budget=budget)
+        return jnp.mean(rad * rad)
+
+    l_big, g_big = jax.value_and_grad(lambda p: loss(p, 144))(params)
+    l_sm, g_sm = jax.value_and_grad(lambda p: loss(p, 48))(params)
+    np.testing.assert_allclose(float(l_big), float(l_sm), rtol=1e-6)
+    total = 0.0
+    # 2e-3 not 1e-4: K=72 and K=48 backwards are differently compiled
+    # kernels, and at depth 30 x 144 samples a near-tie replay flip
+    # (the documented cross-compiled divergence class, module
+    # docstring) reroutes ~one path — observed 4e-4 relative on a bg
+    # component. The loss (same spill-forward image) matches to 1e-6.
+    for a, b in zip(jax.tree_util.tree_leaves(g_big),
+                    jax.tree_util.tree_leaves(g_sm)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3 * scale)
+        total += float(jnp.sum(jnp.abs(a)))
+    assert total > 0.0
+
+
 def test_make_train_step_chunked_matches_oneshot(monkeypatch):
     """make_train_step_chunked (forward chunks -> image cotangent ->
     per-chunk backward vjp, the north-star big-spp trainer) must
