@@ -324,6 +324,30 @@ def main():
 
     rec.phase("train_tile", phase_train_tile)
 
+    # --- phase: north-star 500spp train step (exact + rr_depth=4) -------
+    # The end-to-end training config BASELINE.md's "North-star training"
+    # tracks: one warm + one timed full step per variant (each step is
+    # ~45-65 s, so medians are unaffordable here; the dedicated harness
+    # benchmarks/north_star.py takes medians — same-day ladder in
+    # BASELINE.md "late-round-4 update").
+    def phase_north_star():
+        import dataclasses
+
+        from rrt_tpu.diff import make_train_step_chunked
+        cfg500 = RenderConfig(width=width, height=height, spp=500,
+                              max_depth=50)
+        target = jnp.zeros((height, width, 3), jnp.float32)
+        for name, c in (("north_star_500spp_s", cfg500),
+                        ("north_star_500spp_rr4_s",
+                         dataclasses.replace(cfg500, rr_depth=4))):
+            step = make_train_step_chunked(c)
+            sync_tree(step(scene, cam, target, 0)[2])  # compile + warm
+            t0 = time.time()
+            sync_tree(step(scene, cam, target, 0)[2])
+            d[name] = round(time.time() - t0, 1)
+
+    rec.phase("north_star", phase_north_star)
+
     # --- phase: sharded fused train step, (dp=1, sp=1) mesh -------------
     # (single chip here; proves the shard_map train path compiles and
     # runs on hardware — efficiency at N needs N chips.)

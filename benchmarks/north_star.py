@@ -43,7 +43,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rrt_tpu.diff import make_train_step_chunked
+    from rrt_tpu.diff import (make_train_step, make_train_step_chunked,
+                              resolve_spp_chunk)
     from rrt_tpu.render import RenderConfig
     from rrt_tpu.scenes import chap12_scene
 
@@ -52,7 +53,17 @@ def main():
                        rr_depth=args.rr_depth)
     scene, cam = chap12_scene(cfg.width, cfg.height)
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-    step = make_train_step_chunked(cfg, spp_chunk=args.chunk or None)
+    if args.chunk:
+        # Explicit chunk: drive the chunked trainer directly. The
+        # effective chunk may be smaller (largest divisor of spp).
+        step = make_train_step_chunked(cfg, spp_chunk=args.chunk)
+        eff_chunk = resolve_spp_chunk(cfg, args.chunk)
+    else:
+        # Production path: make_train_step routes spp <= 256 one-shot
+        # and bigger budgets through the chunked trainer (auto chunk).
+        step = make_train_step(cfg)
+        eff_chunk = (resolve_spp_chunk(cfg) if cfg.spp > 256
+                     else "one-shot")
 
     def sync(out):
         jax.block_until_ready(out)
@@ -76,7 +87,7 @@ def main():
     print(f"median train step: {med:.1f} s over {args.iters} iters "
           f"(spread [{min(ts):.1f}, {max(ts):.1f}]); "
           f"{rays / med / 1e6:.1f} Mprimary-rays/s fwd+bwd; "
-          f"rr_depth={args.rr_depth} chunk={args.chunk or 'auto'}")
+          f"rr_depth={args.rr_depth} chunk={eff_chunk}")
 
 
 if __name__ == "__main__":

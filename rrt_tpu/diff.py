@@ -64,6 +64,20 @@ def render_loss(params: dict, camera: Camera, scene: SceneArrays,
     return jnp.mean((img - target) ** 2)
 
 
+def resolve_spp_chunk(cfg: RenderConfig,
+                      spp_chunk: int | None = None) -> int:
+    """The chunked trainer's effective samples-per-chunk: the requested
+    value (or the auto heuristic — see make_train_step_chunked's inline
+    comment), reduced to the largest divisor of cfg.spp so chunks tile
+    the sample range exactly. Exposed so harnesses can report the chunk
+    a run ACTUALLY used (benchmarks/north_star.py)."""
+    from .render import DIFF_SAMPLE_BUDGET
+    chunk = spp_chunk or min(256, max(DIFF_SAMPLE_BUDGET, cfg.spp // 2))
+    if cfg.spp % chunk != 0:
+        chunk = next(c for c in range(chunk, 0, -1) if cfg.spp % c == 0)
+    return chunk
+
+
 def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
                             spp_chunk: int | None = None):
     """Full-spp MSE training step executed as MULTIPLE device calls —
@@ -89,42 +103,33 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
 
     Returns step(scene, camera, target, seed) ->
         (scene', camera', loss)."""
-    from .render import (DIFF_SAMPLE_BUDGET, trace_tiles,
-                         trace_tiles_diff)
+    from .render import trace_tiles, trace_tiles_diff
 
-    if not spp_chunk:
-        # (0/None = auto.) Bigger chunks amortize per-call dispatch AND
-        # avoid the in-graph remat split's extra spill-forward: the
-        # 500spp north star measured 77.0 s at chunk=64, 76.1 at 100,
-        # 73.5 at 125 with the remat split, 67.5 s at 125 as one chain
-        # per backward call (BASELINE.md "North-star training", round
-        # 4). Cap at 256: chunks above 128 spp raise the train kernels'
-        # segment length K 48 -> 96 (megakernel_train._seg_k `big`),
-        # halving the backward residual per spp — a 256-spp chunk parks
-        # the same ~13 GB a 128-spp chunk needed at K=48, and halving
-        # the chunk count halves the spill-forward re-renders. spp // 2
-        # (not // 4): two chunks means exactly ONE chunk pays a
-        # re-render (chunk 0 parks its residual across the cotangent
-        # barrier). The ~60 s single-execution wall stays comfortable
-        # (one 250-spp backward call ~ 25 s).
-        chunk = min(256, max(DIFF_SAMPLE_BUDGET, cfg.spp // 2))
-    else:
-        chunk = spp_chunk
-    if cfg.spp % chunk != 0:
-        chunk = next(c for c in range(chunk, 0, -1) if cfg.spp % c == 0)
+    # Auto heuristic (resolve_spp_chunk): bigger chunks amortize
+    # per-call dispatch AND avoid the in-graph remat split's extra
+    # spill-forward: the 500spp north star measured 77.0 s at chunk=64,
+    # 76.1 at 100, 73.5 at 125 with the remat split, 67.5 s at 125 as
+    # one chain per backward call (BASELINE.md "North-star training",
+    # round 4). Cap at 256: chunks above 128 spp raise the train
+    # kernels' segment length K 48 -> 96 (megakernel_train._seg_k),
+    # halving the backward residual per spp — a 256-spp chunk parks the
+    # same ~13 GB a 128-spp chunk needed at K=48, and halving the chunk
+    # count halves the spill-forward re-renders. spp // 2 (not // 4):
+    # two chunks means exactly ONE chunk pays a re-render (chunk 0
+    # parks its residual across the cotangent barrier). The ~60 s
+    # single-execution wall stays comfortable (one 250-spp backward
+    # call ~ 25 s).
+    chunk = resolve_spp_chunk(cfg, spp_chunk)
     n_pix = cfg.width * cfg.height
-    # The forward chunks must match the backward's estimator (the
-    # cotangent is evaluated at the image gradients flow through).
-    # Round 4: the differentiable paths honor rr_depth (replayed kill +
-    # detached 1/p weight), and trace_tiles' in-kernel RR is
-    # draw-identical to the train kernel's, so cfg passes through
-    # unchanged — a 500-spp step with rr_depth=4 drops both the forward
-    # chunks' and the backward replays' straggler tails.
-    cfg_fwd = cfg
+    # cfg (including rr_depth) is shared by the forward chunks and the
+    # backward replays: the cotangent must be evaluated at the image
+    # gradients flow through, and since round 4 the differentiable
+    # paths honor rr (replayed kill + detached 1/p weight) with
+    # trace_tiles' in-kernel RR draw-identical to the train kernel's.
 
     @jax.jit
     def fwd_chunk(scene, camera, seed, lo):
-        return trace_tiles(scene, camera, cfg_fwd, seed, sample_lo=lo,
+        return trace_tiles(scene, camera, cfg, seed, sample_lo=lo,
                            n_samples=chunk)
 
     @jax.jit

@@ -82,7 +82,7 @@ CROWS = 24
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _seg_k(max_steps: int, big: bool = False) -> int:
+def _seg_k(max_steps: int, spp: int = 0) -> int:
     """Segment length: balance the K-row VMEM scratch against the
     ceil(max_steps/K)-row boundary buffer (sqrt-checkpointing). The
     (K*CROWS, TN) replay scratch plus the resident boundary block push
@@ -90,20 +90,20 @@ def _seg_k(max_steps: int, big: bool = False) -> int:
     TN=1024, so both train kernels raise it via CompilerParams
     (_VMEM_LIMIT; v5e has 128 MB physical VMEM).
 
-    big (spp > 128 per launch, i.e. the chunked trainer's large
-    chunks): raise the K cap 48 -> 96. The boundary buffer is the
+    spp (per-launch sample budget; > 128 means the chunked trainer's
+    large chunks — derived HERE so the forward and backward, which must
+    agree on K, cannot diverge): above 128 the K cap rises 48 -> 96.
+    The boundary buffer is the
     chunk's HBM residual (~103 MB per full-image spp at K=48), so
     doubling K halves it and lets a 256-spp chunk park the same
     ~13 GB a 128-spp chunk needed at K=48 — fewer chunks means fewer
     spill-forward re-renders in the chunked trainer. The K sweep
     measured flat timing 48->96 (BASELINE.md); the 96-row scratch adds
     ~12-20 MB VMEM, still inside _VMEM_LIMIT with the halved resident
-    boundary block. Both kernels must agree on K (the forward writes
-    the boundaries the backward reloads), so both derive `big` from
-    the same static spp."""
+    boundary block."""
     k = int(np.ceil(np.sqrt(max(max_steps, 1))))
     k = -(-k // 8) * 8
-    return max(8, min(96 if big else 48, k, max_steps))
+    return max(8, min(96 if spp > 128 else 48, k, max_steps))
 
 
 def _pack_carry(rows_f, sample, chain, pxr, pyr, gidf, k0, k1):
@@ -800,7 +800,7 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
     q_count = quad24.shape[1]
     b_count = box24.shape[1]
     max_steps = chains * spp * (int(flags["max_depth"]) + 2) + 1
-    seg_k = _seg_k(max_steps, big=spp > 128)
+    seg_k = _seg_k(max_steps, spp)
     n_bounds = -(-max_steps // seg_k)
     s_tiles = mk._fam_tiles(s_count)
     q_tiles = mk._fam_tiles(q_count)
@@ -880,7 +880,7 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
     q_count = quad24.shape[1]
     b_count = box24.shape[1]
     max_steps = chains * spp * (int(flags["max_depth"]) + 2) + 1
-    seg_k = _seg_k(max_steps, big=spp > 128)
+    seg_k = _seg_k(max_steps, spp)
     n_bounds = -(-max_steps // seg_k)
     s_tiles = mk._fam_tiles(s_count)
     q_tiles = mk._fam_tiles(q_count)

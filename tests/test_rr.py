@@ -1,11 +1,14 @@
 """Russian-roulette termination (RenderConfig.rr_depth, VERDICT r3 #7).
 
-RR is a forward-render option: past rr_depth bounces a path continues
-with p = clamp(max throughput component, 0.05, 1) and the survivor's
-throughput is divided by p — the estimator stays unbiased while the
-depth-50 straggler tail (which the tile kernel otherwise rides at full
-sweep cost) is cut to the throughput-weighted effective depth. Default
-off: goldens and the differentiable paths keep exact depth-termination.
+Past rr_depth bounces a path continues with p = clamp(max throughput
+component, 0.05, 1) and the survivor's throughput is divided by p — the
+estimator stays unbiased while the depth-50 straggler tail (which the
+tile kernel otherwise rides at full sweep cost) is cut to the
+throughput-weighted effective depth. Since late round 4 every driver
+honors it, INCLUDING the differentiable paths: the kill replays like
+any other discrete decision and the 1/p weight is detached (gradient
+parity tests live in test_tile_grad.py / test_mk_grad.py). Default off:
+goldens keep exact depth-termination.
 """
 
 import os
