@@ -55,15 +55,16 @@ def main():
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     if args.chunk:
         # Explicit chunk: drive the chunked trainer directly. The
-        # effective chunk may be smaller (largest divisor of spp).
+        # effective chunk may differ (scene-safe cap + largest divisor
+        # of spp).
         step = make_train_step_chunked(cfg, spp_chunk=args.chunk)
-        eff_chunk = resolve_spp_chunk(cfg, args.chunk)
+        eff_chunk = resolve_spp_chunk(cfg, args.chunk, scene)
     else:
         # Production path: make_train_step routes spp <= 256 one-shot
         # and bigger budgets through the chunked trainer (auto chunk).
         step = make_train_step(cfg)
-        eff_chunk = (resolve_spp_chunk(cfg) if cfg.spp > 256
-                     else "one-shot")
+        eff_chunk = (resolve_spp_chunk(cfg, scene=scene)
+                     if cfg.spp > 256 else "one-shot")
 
     def sync(out):
         jax.block_until_ready(out)

@@ -65,14 +65,36 @@ def render_loss(params: dict, camera: Camera, scene: SceneArrays,
 
 
 def resolve_spp_chunk(cfg: RenderConfig,
-                      spp_chunk: int | None = None) -> int:
+                      spp_chunk: int | None = None,
+                      scene: SceneArrays | None = None) -> int:
     """The chunked trainer's effective samples-per-chunk: the requested
     value (or the auto heuristic — see make_train_step_chunked's inline
-    comment), reduced to the largest divisor of cfg.spp so chunks tile
-    the sample range exactly. Exposed so harnesses can report the chunk
-    a run ACTUALLY used (benchmarks/north_star.py)."""
+    comment), clamped to the scene's HBM-safe cap and reduced to the
+    largest divisor of cfg.spp so chunks tile the sample range exactly.
+    Exposed so harnesses can report the chunk a run ACTUALLY used
+    (benchmarks/north_star.py).
+
+    The cap is scene-dependent because the backward's segment length
+    is (megakernel_train._seg_cfg): a lean spill layout gets K=192
+    above 256 spp, halving the boundary residual, so a 500-spp chunk
+    parks the same ~13 GB a 250-spp chunk needs at K=96 — and a
+    single-chunk step has NO spill-forward re-renders at all. Heavier
+    layouts stay at K<=96, where a >256-spp chunk's residual would
+    blow the 16 GB HBM, so their cap is 256 (explicit requests above
+    it are clamped). Without a scene the conservative 256 cap
+    applies."""
+    from .ops.megakernel_train import lean_spill
     from .render import DIFF_SAMPLE_BUDGET
-    chunk = spp_chunk or min(256, max(DIFF_SAMPLE_BUDGET, cfg.spp // 2))
+    lean = scene is not None and lean_spill(
+        scene.has_quads, scene.has_boxes, scene.has_images,
+        scene.n_media_active)
+    cap = 512 if lean else 256
+    if spp_chunk:
+        chunk = min(spp_chunk, cap)
+    elif lean and cfg.spp <= cap:
+        chunk = cfg.spp  # single chunk: zero re-renders
+    else:
+        chunk = min(cap, max(DIFF_SAMPLE_BUDGET, cfg.spp // 2))
     if cfg.spp % chunk != 0:
         chunk = next(c for c in range(chunk, 0, -1) if cfg.spp % c == 0)
     return chunk
@@ -105,32 +127,19 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
         (scene', camera', loss)."""
     from .render import trace_tiles, trace_tiles_diff
 
-    # Auto heuristic (resolve_spp_chunk): bigger chunks amortize
-    # per-call dispatch AND avoid the in-graph remat split's extra
-    # spill-forward: the 500spp north star measured 77.0 s at chunk=64,
-    # 76.1 at 100, 73.5 at 125 with the remat split, 67.5 s at 125 as
-    # one chain per backward call (BASELINE.md "North-star training",
-    # round 4). Cap at 256: chunks above 128 spp raise the train
-    # kernels' segment length K 48 -> 96 (megakernel_train._seg_k),
-    # halving the backward residual per spp — a 256-spp chunk parks the
-    # same ~13 GB a 128-spp chunk needed at K=48, and halving the chunk
-    # count halves the spill-forward re-renders. spp // 2 (not // 4):
-    # two chunks means exactly ONE chunk pays a re-render (chunk 0
-    # parks its residual across the cotangent barrier). The ~60 s
-    # single-execution wall stays comfortable (one 250-spp backward
-    # call ~ 25 s).
-    chunk = resolve_spp_chunk(cfg, spp_chunk)
-    n_pix = cfg.width * cfg.height
+    # Auto chunk (resolve_spp_chunk, scene-aware so it resolves inside
+    # step): bigger chunks amortize per-call dispatch AND avoid
+    # spill-forward re-renders: the 500spp north star measured 77.0 s
+    # at chunk=64, 76.1 at 100, 73.5 at 125 with the remat split,
+    # 67.5 s at 125 as one chain per backward call, 62.5 s at 250
+    # (K=96 tier), and a lean-scene SINGLE 500-spp chunk (K=192 tier)
+    # re-renders nothing (BASELINE.md "North-star training", round 4).
     # cfg (including rr_depth) is shared by the forward chunks and the
     # backward replays: the cotangent must be evaluated at the image
     # gradients flow through, and since round 4 the differentiable
     # paths honor rr (replayed kill + detached 1/p weight) with
     # trace_tiles' in-kernel RR draw-identical to the train kernel's.
-
-    @jax.jit
-    def fwd_chunk(scene, camera, seed, lo):
-        return trace_tiles(scene, camera, cfg, seed, sample_lo=lo,
-                           n_samples=chunk)
+    n_pix = cfg.width * cfg.height
 
     @jax.jit
     def loss_and_cot(rad_sum, target):
@@ -141,23 +150,42 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
         return jax.value_and_grad(loss_of)(rad_sum)
 
     @jax.jit
-    def bwd_chunk(scene, params, camera, seed, lo, cot):
-        def rad_of(p, c):
-            # sample_budget=chunk: this call IS the chunking — one
-            # custom_vjp chain per backward call, no inner remat split
-            # (each split sub-chunk would re-run a spill-forward).
-            rad, _ = trace_tiles_diff(combine(scene, p), c, cfg, seed,
-                                      sample_lo=lo, n_samples=chunk,
-                                      sample_budget=chunk)
-            return rad
-        _, vjp = jax.vjp(rad_of, params, camera)
-        return vjp(cot)
-
-    @jax.jit
     def apply_sgd(scene_params, camera, gp, gc):
         new_p = jax.tree.map(lambda p, g: p - lr * g, scene_params, gp)
         new_c = jax.tree.map(lambda p, g: p - lr * g, camera, gc)
         return new_p, new_c
+
+    # Per-chunk-size jitted closures, built lazily: the chunk size is
+    # scene-dependent (resolve_spp_chunk's lean gate), and the scene
+    # first appears at step() time.
+    chunk_fns = {}
+
+    def get_chunk_fns(chunk):
+        if chunk in chunk_fns:
+            return chunk_fns[chunk]
+
+        @jax.jit
+        def fwd_chunk(scene, camera, seed, lo):
+            return trace_tiles(scene, camera, cfg, seed, sample_lo=lo,
+                               n_samples=chunk)
+
+        @jax.jit
+        def bwd_chunk(scene, params, camera, seed, lo, cot):
+            def rad_of(p, c):
+                # sample_budget=chunk: this call IS the chunking — one
+                # custom_vjp chain per backward call, no inner remat
+                # split (each split sub-chunk would re-run a
+                # spill-forward).
+                rad, _ = trace_tiles_diff(combine(scene, p), c, cfg,
+                                          seed, sample_lo=lo,
+                                          n_samples=chunk,
+                                          sample_budget=chunk)
+                return rad
+            _, vjp = jax.vjp(rad_of, params, camera)
+            return vjp(cot)
+
+        chunk_fns[chunk] = (fwd_chunk, bwd_chunk)
+        return chunk_fns[chunk]
 
     fallback = []
 
@@ -176,13 +204,16 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
             return fallback[0](scene, camera, target, seed)
         seed = jnp.asarray(seed)
         params = partition(scene)
+        chunk = resolve_spp_chunk(cfg, spp_chunk, scene)
+        fwd_chunk, bwd_chunk = get_chunk_fns(chunk)
         # Chunk 0 runs its forward through an (eager) jax.vjp so its
         # spill residuals survive until the cotangent exists: its
         # backward then needs NO re-render. Only one chunk can do this
-        # — the residual (segment-boundary buffer) is ~6.6 GB per 64
-        # full-image spp, so holding every chunk's would blow HBM;
-        # holding exactly one saves one spill-forward (~9% of the
-        # 500spp step) for ~13 GB of temporarily parked HBM.
+        # — the residual (segment-boundary buffer) scales with
+        # chunk spp / K, so holding every chunk's would blow HBM;
+        # holding exactly one parks ~13 GB temporarily, and on lean
+        # scenes where the chunk IS the full budget (K=192 tier) the
+        # whole step has zero re-renders.
         from .render import trace_tiles_diff as _ttd
 
         def rad_of0(p, c):

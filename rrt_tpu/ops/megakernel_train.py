@@ -92,18 +92,59 @@ def _seg_k(max_steps: int, spp: int = 0) -> int:
 
     spp (per-launch sample budget; > 128 means the chunked trainer's
     large chunks — derived HERE so the forward and backward, which must
-    agree on K, cannot diverge): above 128 the K cap rises 48 -> 96.
-    The boundary buffer is the
-    chunk's HBM residual (~103 MB per full-image spp at K=48), so
-    doubling K halves it and lets a 256-spp chunk park the same
-    ~13 GB a 128-spp chunk needed at K=48 — fewer chunks means fewer
-    spill-forward re-renders in the chunked trainer. The K sweep
-    measured flat timing 48->96 (BASELINE.md); the 96-row scratch adds
-    ~12-20 MB VMEM, still inside _VMEM_LIMIT with the halved resident
-    boundary block."""
+    agree on K, cannot diverge): above 128 the K cap rises 48 -> 96,
+    and above 256 to 192 when the spill layout is lean enough
+    (srows <= 80; see _seg_cfg). The boundary buffer is the chunk's HBM
+    residual (~103 MB per full-image spp at K=48), so doubling K halves
+    it: a 256-spp chunk at K=96 (or a 512-spp chunk at K=192) parks the
+    same ~13 GB a 128-spp chunk needed at K=48 — fewer chunks means
+    fewer spill-forward re-renders in the chunked trainer, and a
+    SINGLE-chunk 500-spp step has none at all. The K sweep measured
+    flat timing 48->96 (BASELINE.md); the K-row scratch grows linearly
+    (the K=192 backward needs the raised 96 MB scoped limit —
+    _seg_cfg)."""
     k = int(np.ceil(np.sqrt(max(max_steps, 1))))
     k = -(-k // 8) * 8
     return max(8, min(96 if spp > 128 else 48, k, max_steps))
+
+
+def lean_spill(has_quads: bool, has_boxes: bool, has_images: bool,
+               n_media: int) -> bool:
+    """True when the aux-spill replay record is lean enough (srows <=
+    80: sphere-only and most sphere+one-extra-family scenes) for the
+    K=192 segment tier — the gate _seg_cfg and the chunked trainer's
+    chunk-size cap (diff.resolve_spp_chunk) must share, since a >256-spp
+    chunk is only HBM-safe when K=192 halves its boundary residual."""
+    spill_rows, _ = _spill_layout(has_quads, has_boxes, has_images,
+                                  n_media > 0)
+    return CROWS + spill_rows <= 80
+
+
+def _seg_cfg(max_steps: int, spp: int, flags: dict):
+    """(seg_k, vmem_limit_bytes) for the train kernels — the single
+    source both _fwd_call and _bwd_call use so the forward's boundary
+    stride always matches the backward's reload stride.
+
+    The K=192 tier needs the backward's (K*srows, TN) replay scratch +
+    the resident boundary block to fit the scoped-VMEM budget: with the
+    aux-spill layout srows = 24 + spill rows (34-87 by family), K=192
+    costs 50-86 MB of scratch. Lean layouts (lean_spill) get K=192
+    under a 96 MB scoped limit (v5e has 128 MB physical); heavier
+    layouts cap at 96 under the standard 64 MB limit."""
+    if spp > 256 and lean_spill(flags["has_quads"], flags["has_boxes"],
+                                flags["has_images"], flags["n_media"]):
+        # Pin K=192 rather than following the sqrt rule: in this tier
+        # HBM (the ceil(max_steps/K)-bound boundary buffer, parked
+        # across the cotangent barrier) dominates, not VMEM balance —
+        # sqrt would give K=168 at 500 spp, a 14.3 GB full-image
+        # residual vs 12.5 GB at K=192 (the budget the chunk-0 parking
+        # has been proven at). Scratch at K=192/srows<=80 is ~50 MB,
+        # inside the raised 96 MB scoped limit.
+        k = max(8, min(192, max_steps))
+        if k > 96:
+            return k, 96 * 1024 * 1024
+        return k, _VMEM_LIMIT
+    return _seg_k(max_steps, spp), _VMEM_LIMIT
 
 
 def _pack_carry(rows_f, sample, chain, pxr, pyr, gidf, k0, k1):
@@ -800,7 +841,7 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
     q_count = quad24.shape[1]
     b_count = box24.shape[1]
     max_steps = chains * spp * (int(flags["max_depth"]) + 2) + 1
-    seg_k = _seg_k(max_steps, spp)
+    seg_k, vmem_limit = _seg_cfg(max_steps, spp, flags)
     n_bounds = -(-max_steps // seg_k)
     s_tiles = mk._fam_tiles(s_count)
     q_tiles = mk._fam_tiles(q_count)
@@ -820,12 +861,14 @@ def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,
                            box24, med24, bg8, atlas, sb, qb, bb,
                            npad=npad, block=block, s_count=s_count,
                            q_count=q_count, b_count=b_count,
-                           n_bounds=n_bounds, n_lanes=n_lanes, spp=spp)
+                           n_bounds=n_bounds, n_lanes=n_lanes, spp=spp,
+                           vmem_limit=vmem_limit)
 
 
 def _fwd_launch(kern, meta, seed2, cam24, sph24, quad24, box24, med24,
                 bg8, atlas, sb, qb, bb, *, npad, block, s_count,
-                q_count, b_count, n_bounds, n_lanes, spp):
+                q_count, b_count, n_bounds, n_lanes, spp,
+                vmem_limit=_VMEM_LIMIT):
     out, bounds = mk.pallas_call(
         kern,
         grid=(npad // block,),
@@ -865,7 +908,7 @@ def _fwd_launch(kern, meta, seed2, cam24, sph24, quad24, box24, med24,
                                 + 24 * (s_count + q_count + b_count)),
             transcendentals=spp * 3 * npad * 40),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=vmem_limit),
     )(meta, seed2, cam24, sph24, quad24, box24, med24, atlas, bg8, sb,
       qb, bb)
     return out, bounds
@@ -880,7 +923,7 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
     q_count = quad24.shape[1]
     b_count = box24.shape[1]
     max_steps = chains * spp * (int(flags["max_depth"]) + 2) + 1
-    seg_k = _seg_k(max_steps, spp)
+    seg_k, vmem_limit = _seg_cfg(max_steps, spp, flags)
     n_bounds = -(-max_steps // seg_k)
     s_tiles = mk._fam_tiles(s_count)
     q_tiles = mk._fam_tiles(q_count)
@@ -912,14 +955,15 @@ def _bwd_call(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24,
             box24, med24, bg8, atlas, sb, qb, bb, bounds, acc=acc,
             npad=npad, block=block, s_count=s_count, q_count=q_count,
             b_count=b_count, n_bounds=n_bounds, seg_k=seg_k, md=md,
-            spp=spp, chains=chains, srows=srows)
+            spp=spp, chains=chains, srows=srows,
+            vmem_limit=vmem_limit)
     return outs
 
 
 def _bwd_launch(kern, meta, drad, nsteps, seed2, cam24, sph24, quad24,
                 box24, med24, bg8, atlas, sb, qb, bb, bounds, *, acc,
                 npad, block, s_count, q_count, b_count, n_bounds, seg_k,
-                md, spp, chains, srows=CROWS):
+                md, spp, chains, srows=CROWS, vmem_limit=_VMEM_LIMIT):
     outs = mk.pallas_call(
         kern,
         grid=(npad // block,),
@@ -970,7 +1014,7 @@ def _bwd_launch(kern, meta, drad, nsteps, seed2, cam24, sph24, quad24,
                                 + 24 * (s_count + q_count + b_count)),
             transcendentals=3 * spp * 3 * npad * 40),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=vmem_limit),
     )(meta, drad, nsteps, seed2, cam24, sph24, quad24, box24, med24,
       atlas, bg8, sb, qb, bb, bounds)
     return outs

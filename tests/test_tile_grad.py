@@ -189,6 +189,20 @@ def test_tile_grads_russian_roulette():
 
 
 @pytest.mark.slow
+def test_tile_grads_russian_roulette_with_media():
+    """RR + constant media through the tile train kernel: isotropic
+    medium lanes fold their albedo into the attenuation BEFORE the RR
+    block in both the kernel and the diff step, so the detached 1/p
+    weight must see the medium-attenuated throughput. cornell_smoke's
+    long in-medium paths give the roulette constant work."""
+    from rrt_tpu.scenes import cornell_smoke_scene
+    scene, cam = cornell_smoke_scene(16, 16)
+    assert scene.has_media and mkt.supports_train(scene)
+    _compare(scene, cam, 16, 16, spp=1, max_depth=6, rr_depth=2,
+             cam_rtol=None)
+
+
+@pytest.mark.slow
 def test_tile_grads_constant_media():
     """cornell_smoke through the tile train path: the medium boundary
     entry t, neg_inv_density and isotropic albedo gradients must match
@@ -306,7 +320,7 @@ def test_seg_k_big_chunk_matches_small_chunks():
 
     scene, cam = chap11_scene(16, 8)
     cfg = RenderConfig(width=16, height=8, spp=144, max_depth=30)
-    assert mkt._seg_k(144 * 32 + 1, big=True) > 48
+    assert mkt._seg_k(144 * 32 + 1, spp=144) > 48
     params = partition(scene)
 
     def loss(p, budget):
@@ -323,6 +337,42 @@ def test_seg_k_big_chunk_matches_small_chunks():
     # (the documented cross-compiled divergence class, module
     # docstring) reroutes ~one path — observed 4e-4 relative on a bg
     # component. The loss (same spill-forward image) matches to 1e-6.
+    for a, b in zip(jax.tree_util.tree_leaves(g_big),
+                    jax.tree_util.tree_leaves(g_sm)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3 * scale)
+        total += float(jnp.sum(jnp.abs(a)))
+    assert total > 0.0
+
+
+@pytest.mark.slow
+def test_seg_k192_single_chunk_matches_split():
+    """The K=192 tier (spp > 256 on a lean spill layout — the tier that
+    makes a SINGLE 500-spp chunk HBM-safe, megakernel_train._seg_cfg):
+    one 288-sample chain must reproduce the 3x96 split's loss and
+    gradients under the raised 96 MB scoped-VMEM limit."""
+    from rrt_tpu.scenes import chap11_scene
+
+    scene, cam = chap11_scene(16, 8)
+    cfg = RenderConfig(width=16, height=8, spp=288, max_depth=5)
+    flags = dict(has_quads=scene.has_quads, has_boxes=scene.has_boxes,
+                 has_images=scene.has_images,
+                 n_media=scene.n_media_active)
+    k, vlim = mkt._seg_cfg(288 * 7 + 1, 288, flags)
+    assert k == 192 and vlim > mkt._VMEM_LIMIT
+    params = partition(scene)
+
+    def loss(p, budget):
+        rad, _ = trace_tiles_diff(combine(scene, p), cam, cfg, 0,
+                                  n_samples=288, sample_budget=budget)
+        return jnp.mean(rad * rad)
+
+    l_big, g_big = jax.value_and_grad(lambda p: loss(p, 288))(params)
+    l_sm, g_sm = jax.value_and_grad(lambda p: loss(p, 96))(params)
+    np.testing.assert_allclose(float(l_big), float(l_sm), rtol=1e-6)
+    total = 0.0
+    # Same near-tie-flip tolerance rationale as the K-cap test above.
     for a, b in zip(jax.tree_util.tree_leaves(g_big),
                     jax.tree_util.tree_leaves(g_sm)):
         scale = max(float(jnp.max(jnp.abs(b))), 1e-4)
