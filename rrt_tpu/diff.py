@@ -112,11 +112,18 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
     once. This step exploits the image's LINEARITY in per-chunk
     radiance instead:
 
-      pass 1  forward chunks (trace_tiles, fast kernel) -> image;
+      pass 1  chunk 0 through an eager jax.vjp (its spill residuals
+              park across the cotangent barrier) + plain forward
+              chunks (trace_tiles, fast kernel) for the rest -> image;
       pass 2  loss + d(loss)/d(image) (tiny jit);
-      pass 3  per chunk, ONE spill-forward + ONE replay-adjoint launch
-              via jax.vjp seeded with the image cotangent; gradients
-              accumulate on host refs.
+      pass 3  chunk 0's backward reuses the parked residuals (no
+              re-render); every other chunk runs ONE spill-forward +
+              ONE replay-adjoint launch via jax.vjp seeded with the
+              image cotangent; gradients accumulate on host refs.
+
+    On lean scenes the chunk IS the full budget up to 512 spp
+    (resolve_spp_chunk's K=192 tier), so "the rest" is empty and the
+    step has zero re-renders.
 
     Numerically identical to make_train_step's one-shot gradient (same
     (pixel, sample)-global keys; f32 accumulation order differs), with
