@@ -20,6 +20,7 @@ quantities.
 """
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -64,46 +65,120 @@ def render_loss(params: dict, camera: Camera, scene: SceneArrays,
     return jnp.mean((img - target) ** 2)
 
 
+def _residual_budget_bytes() -> int:
+    """HBM allowance for one train launch's segment-boundary buffer
+    (parked across the cotangent barrier by the chunked trainer's chunk
+    0 and resident during every backward call). Default 13 GB: the
+    north-star 1200x800x500spp single-chunk step parks a measured
+    12.5 GB and runs reliably on the 16 GB v5e (BASELINE.md). Raise or
+    lower via RRT_RESIDUAL_BUDGET_GB for parts with different HBM."""
+    import os
+    return int(float(os.environ.get("RRT_RESIDUAL_BUDGET_GB", "13"))
+               * 1e9)
+
+
 def resolve_spp_chunk(cfg: RenderConfig,
                       spp_chunk: int | None = None,
-                      scene: SceneArrays | None = None) -> int:
+                      scene: SceneArrays | None = None,
+                      sp: int = 1, dp: int = 1) -> int:
     """The chunked trainer's effective samples-per-chunk: the requested
     value (or the auto heuristic — see make_train_step_chunked's inline
-    comment), clamped to the scene's HBM-safe cap and reduced to the
-    largest divisor of cfg.spp so chunks tile the sample range exactly.
-    Exposed so harnesses can report the chunk a run ACTUALLY used
-    (benchmarks/north_star.py).
+    comment), clamped so every device call fits HBM, reduced to the
+    largest divisor of cfg.spp (so chunks tile the sample range
+    exactly) that is a multiple of sp (so each chunk splits evenly over
+    the mesh's sample axis). Exposed so harnesses can report the chunk
+    a run ACTUALLY used (benchmarks/north_star.py).
 
-    The cap is scene-dependent because the backward's segment length
-    is (megakernel_train._seg_cfg): a lean spill layout gets K=192
-    above 256 spp, halving the boundary residual, so a 500-spp chunk
-    parks the same ~13 GB a 250-spp chunk needs at K=96 — and a
-    single-chunk step has NO spill-forward re-renders at all. Heavier
-    layouts stay at K<=96, where a >256-spp chunk's residual would
-    blow the 16 GB HBM, so their cap is 256 (explicit requests above
-    it are clamped). Without a scene the conservative 256 cap
-    applies."""
-    from .ops.megakernel_train import lean_spill
-    from .render import DIFF_SAMPLE_BUDGET
+    Two HBM gates, both per PER-RANK quantities (chunk/sp samples,
+    ~n_pix/dp pixels):
+
+      * the K-tier cap (megakernel_train.LEAN_CHUNK_CAP /
+        HEAVY_CHUNK_CAP, defined next to _seg_cfg's tier gate so the
+        thresholds cannot drift — ADVICE r4 #1): a lean spill layout
+        gets K=192 above 256 spp, halving the boundary residual, so a
+        500-spp chunk parks the same ~13 GB a 250-spp chunk needs at
+        K=96 — and a single-chunk step has NO spill-forward re-renders
+        at all. Heavier layouts stay at K<=96, capping at 256.
+      * the resolution-aware residual budget (VERDICT r4 next #4): the
+        K tiers hold residual-per-chunk roughly constant in CHUNK, so
+        the parked bytes scale with IMAGE SIZE
+        (megakernel_train.boundary_residual_bytes) — 12.5 GB at
+        1200x800 but ~27 GB at 1920x1080 for any chunk >= 128. The
+        chunk is reduced until the predicted bytes fit
+        _residual_budget_bytes(), so no config can auto-select an
+        OOM plan (a lean 1920x1080@500spp resolves 50-spp chunks).
+
+    Without a scene the conservative 256 cap applies and the residual
+    check is skipped (no spill layout to predict with)."""
+    from .ops.megakernel_train import (HEAVY_CHUNK_CAP, LEAN_CHUNK_CAP,
+                                       boundary_residual_bytes,
+                                       lean_spill)
+    from .render import DIFF_SAMPLE_BUDGET, tile_chains_diff
     lean = scene is not None and lean_spill(
         scene.has_quads, scene.has_boxes, scene.has_images,
         scene.n_media_active)
-    cap = 512 if lean else 256
+    cap = (LEAN_CHUNK_CAP if lean else HEAVY_CHUNK_CAP) * sp
     if spp_chunk:
         chunk = min(spp_chunk, cap)
     elif lean and cfg.spp <= cap:
         chunk = cfg.spp  # single chunk: zero re-renders
     else:
-        chunk = min(cap, max(DIFF_SAMPLE_BUDGET, cfg.spp // 2))
-    if cfg.spp % chunk != 0:
-        chunk = next(c for c in range(chunk, 0, -1) if cfg.spp % c == 0)
-    return chunk
+        chunk = min(cap, max(DIFF_SAMPLE_BUDGET * sp, cfg.spp // 2))
+
+    budget = _residual_budget_bytes()
+    n_pix_local = -(-cfg.width * cfg.height // dp)
+
+    def admissible(c):
+        if cfg.spp % c != 0 or c % sp != 0:
+            return False
+        if scene is None:
+            return True
+        c_local = c // sp
+        flags = dict(has_quads=scene.has_quads,
+                     has_boxes=scene.has_boxes,
+                     has_images=scene.has_images,
+                     n_media=scene.n_media_active)
+        return boundary_residual_bytes(
+            n_pix_local, c_local, tile_chains_diff(cfg, c_local),
+            cfg.max_depth, flags) <= budget
+
+    eff = next((c for c in range(chunk, 0, -1) if admissible(c)), None)
+    if eff is None:
+        raise ValueError(
+            f"no admissible spp chunk: cfg.spp={cfg.spp} must have a "
+            f"divisor that is a multiple of sp={sp}")
+    if spp_chunk and eff != spp_chunk:
+        _warn_chunk_adjusted(spp_chunk, eff, cap, budget)
+    return eff
+
+
+_warned_chunks: set = set()
+
+
+def _warn_chunk_adjusted(requested: int, effective: int, cap: int,
+                         budget: int):
+    """One warning per (requested, effective) pair per process — a user
+    asking for chunk=400 on a 500-spp non-lean run silently got 250
+    before (ADVICE r4 #2); the adjustment is correct but deserves a
+    signal outside benchmark printouts."""
+    key = (requested, effective)
+    if key not in _warned_chunks:
+        _warned_chunks.add(key)
+        logging.getLogger("rrt_tpu.diff").warning(
+            "requested spp_chunk=%d adjusted to %d (HBM-safe cap %d, "
+            "boundary-residual budget %.1f GB, and the chunk must "
+            "divide cfg.spp and split evenly over the mesh's sample "
+            "axis)", requested, effective, cap, budget / 1e9)
 
 
 def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
-                            spp_chunk: int | None = None):
+                            spp_chunk: int | None = None, mesh=None):
     """Full-spp MSE training step executed as MULTIPLE device calls —
-    the north-star 1200x800x500spp config end to end.
+    the north-star 1200x800x500spp config end to end, single-device or
+    sharded over a ("dp","sp") mesh (VERDICT r4 next #3: a sharded
+    big-spp step must ALSO chunk — with sp=1 a 500-spp north-star step
+    would otherwise put ~45+ s of fwd+bwd into one shard_map call,
+    straight into the ~60 s execution wall).
 
     One jitted call containing every sample chunk exceeds this
     runtime's single-execution window (~60 s: 4x64spp chunk graphs run
@@ -132,7 +207,11 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
 
     Returns step(scene, camera, target, seed) ->
         (scene', camera', loss)."""
+    from .parallel.mesh import trace_tiles_diff_sharded, trace_tiles_sharded
     from .render import trace_tiles, trace_tiles_diff
+
+    sp = mesh.shape["sp"] if mesh is not None else 1
+    dp = mesh.shape["dp"] if mesh is not None else 1
 
     # Auto chunk (resolve_spp_chunk, scene-aware so it resolves inside
     # step): bigger chunks amortize per-call dispatch AND avoid
@@ -171,27 +250,45 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
         if chunk in chunk_fns:
             return chunk_fns[chunk]
 
-        @jax.jit
-        def fwd_chunk(scene, camera, seed, lo):
-            return trace_tiles(scene, camera, cfg, seed, sample_lo=lo,
-                               n_samples=chunk)
+        if mesh is None:
+            @jax.jit
+            def fwd_chunk(scene, camera, seed, lo):
+                return trace_tiles(scene, camera, cfg, seed,
+                                   sample_lo=lo, n_samples=chunk)
 
-        @jax.jit
-        def bwd_chunk(scene, params, camera, seed, lo, cot):
-            def rad_of(p, c):
+            def rad_fn(s, c, seed, lo):
                 # sample_budget=chunk: this call IS the chunking — one
                 # custom_vjp chain per backward call, no inner remat
                 # split (each split sub-chunk would re-run a
                 # spill-forward).
-                rad, _ = trace_tiles_diff(combine(scene, p), c, cfg,
-                                          seed, sample_lo=lo,
-                                          n_samples=chunk,
+                rad, _ = trace_tiles_diff(s, c, cfg, seed,
+                                          sample_lo=lo, n_samples=chunk,
                                           sample_budget=chunk)
                 return rad
+        else:
+            @jax.jit
+            def fwd_chunk(scene, camera, seed, lo):
+                return trace_tiles_sharded(scene, camera, cfg, seed,
+                                           mesh, sample_lo=lo,
+                                           n_samples=chunk)
+
+            def rad_fn(s, c, seed, lo):
+                # Per-rank sample budget chunk/sp: ONE custom_vjp chain
+                # per rank per backward call (no inner remat split),
+                # gradients all-reduced by the shard_map transpose.
+                rad, _ = trace_tiles_diff_sharded(
+                    s, c, cfg, seed, mesh, sample_lo=lo,
+                    n_samples=chunk, sample_budget=chunk // sp)
+                return rad
+
+        @jax.jit
+        def bwd_chunk(scene, params, camera, seed, lo, cot):
+            def rad_of(p, c):
+                return rad_fn(combine(scene, p), c, seed, lo)
             _, vjp = jax.vjp(rad_of, params, camera)
             return vjp(cot)
 
-        chunk_fns[chunk] = (fwd_chunk, bwd_chunk)
+        chunk_fns[chunk] = (fwd_chunk, bwd_chunk, rad_fn)
         return chunk_fns[chunk]
 
     fallback = []
@@ -207,12 +304,12 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
         if reason is not None:
             _warn_diff_fallback("make_train_step_chunked", reason)
             if not fallback:
-                fallback.append(_make_train_step_oneshot(cfg, None, lr))
+                fallback.append(_make_train_step_oneshot(cfg, mesh, lr))
             return fallback[0](scene, camera, target, seed)
         seed = jnp.asarray(seed)
         params = partition(scene)
-        chunk = resolve_spp_chunk(cfg, spp_chunk, scene)
-        fwd_chunk, bwd_chunk = get_chunk_fns(chunk)
+        chunk = resolve_spp_chunk(cfg, spp_chunk, scene, sp=sp, dp=dp)
+        fwd_chunk, bwd_chunk, rad_fn = get_chunk_fns(chunk)
         # Chunk 0 runs its forward through an (eager) jax.vjp so its
         # spill residuals survive until the cotangent exists: its
         # backward then needs NO re-render. Only one chunk can do this
@@ -221,13 +318,9 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
         # holding exactly one parks ~13 GB temporarily, and on lean
         # scenes where the chunk IS the full budget (K=192 tier) the
         # whole step has zero re-renders.
-        from .render import trace_tiles_diff as _ttd
 
         def rad_of0(p, c):
-            rad, _ = _ttd(combine(scene, p), c, cfg, seed,
-                          sample_lo=0, n_samples=chunk,
-                          sample_budget=chunk)
-            return rad
+            return rad_fn(combine(scene, p), c, seed, 0)
         rad0, vjp0 = jax.vjp(rad_of0, params, camera)
         rad_sum = rad0
         for lo in range(chunk, cfg.spp, chunk):
@@ -249,21 +342,23 @@ def make_train_step_chunked(cfg: RenderConfig, lr: float = 1e-2,
 def make_train_step(cfg: RenderConfig, mesh=None, lr: float = 1e-2):
     """Jitted full training step: fwd render + bwd replay + SGD update.
 
-    Single-device sample budgets beyond 256 spp route through
-    make_train_step_chunked automatically (same update, multiple device
-    calls): one jit call holding every chunk's fwd+bwd graph exceeds
-    this runtime's ~60 s execution window (BASELINE.md "North-star
-    training"). Out-of-scope scenes/backends fall back to the one-shot
-    scan-path step at call time. Sharded steps split spp over "sp"
-    first, so their per-rank budget is usually already inside the
-    window.
+    Sample budgets beyond 256 spp PER RANK (spp/sp on a mesh) route
+    through make_train_step_chunked automatically (same update,
+    multiple device calls, sharded per chunk when a mesh is given): one
+    device call holding every chunk's fwd+bwd graph exceeds this
+    runtime's ~60 s execution window (BASELINE.md "North-star
+    training") — and before round 5 the mesh route never chunked, so an
+    sp=1 sharded north-star step would have faulted there (VERDICT r4
+    next #3). Out-of-scope scenes/backends fall back to the one-shot
+    scan-path step at call time.
 
     Returns step(scene, camera, target, seed) ->
         (scene', camera', loss).
     """
     from .render import DIFF_SAMPLE_BUDGET
-    if mesh is None and cfg.spp > 4 * DIFF_SAMPLE_BUDGET:
-        return make_train_step_chunked(cfg, lr=lr)
+    sp = mesh.shape["sp"] if mesh is not None else 1
+    if cfg.spp > 4 * DIFF_SAMPLE_BUDGET * sp:
+        return make_train_step_chunked(cfg, lr=lr, mesh=mesh)
     return _make_train_step_oneshot(cfg, mesh, lr)
 
 

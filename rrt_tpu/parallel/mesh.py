@@ -155,23 +155,29 @@ def render_image_sharded(scene: SceneArrays, camera: Camera,
     return image, n_traced
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh"))
-def render_image_tiles_sharded(scene: SceneArrays, camera: Camera,
-                               cfg: RenderConfig, seed, mesh: Mesh):
-    """Multi-device forward rendering through the tile-resident
-    megakernel (the TPU fast path): pixel-rectangle meta blocks shard
-    over "dp" (each rank runs ONE Pallas launch on its blocks), the spp
-    range splits over "sp", and the per-shard scatter into the full
-    image psums over both axes (dp shards cover disjoint pixels, so the
-    dp-psum is pure assembly — no double counting).
+@partial(jax.jit, static_argnames=("cfg", "mesh", "n_samples"))
+def trace_tiles_sharded(scene: SceneArrays, camera: Camera,
+                        cfg: RenderConfig, seed, mesh: Mesh,
+                        sample_lo=0, n_samples: int | None = None):
+    """Multi-device tile-resident render of samples
+    [sample_lo, sample_lo + n_samples): pixel-rectangle meta blocks
+    shard over "dp" (each rank runs ONE Pallas launch on its blocks),
+    the sample range splits over "sp", and the per-shard scatter into
+    the full pixel vector psums over both axes (dp shards cover
+    disjoint pixels, so the dp-psum is pure assembly — no double
+    counting). Returns (radiance sums (P,3), n_traced) — the sharded
+    analog of render.trace_tiles, used directly by the chunked-sharded
+    trainer (diff.make_train_step_chunked with a mesh).
 
-    Per-sample keys are global (pixel, sample)-addressed, so the image
-    equals the single-device tile render up to f32 summation order for
+    Per-sample keys are global (pixel, sample)-addressed, so the sums
+    equal the single-device trace_tiles up to f32 summation order for
     any mesh factorization."""
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
-    if cfg.spp % sp != 0:
-        raise ValueError(f"spp={cfg.spp} must be a multiple of sp={sp}")
-    spp_local = cfg.spp // sp
+    n_samples = cfg.spp if n_samples is None else n_samples
+    if n_samples % sp != 0:
+        raise ValueError(f"n_samples={n_samples} must be a multiple of "
+                         f"sp={sp}")
+    spp_local = n_samples // sp
     seed_key = jax.random.key(seed) if jnp.issubdtype(
         jnp.asarray(seed).dtype, jnp.integer) else seed
 
@@ -181,7 +187,7 @@ def render_image_tiles_sharded(scene: SceneArrays, camera: Camera,
     # chains), which on a mesh would hand rank 0 the whole image and
     # the other ranks pure padding.
     n_pix_cap = cfg.width * cfg.height
-    chains = min(tile_chains(cfg, scene),
+    chains = min(tile_chains(cfg, scene, spp_local),
                  max(1, -(-n_pix_cap // (dp * ops_mega.TN))))
     block = chains * ops_mega.TN
     meta = ops_mega.pack_pixel_meta(cfg.width, cfg.height, block)
@@ -194,11 +200,12 @@ def render_image_tiles_sharded(scene: SceneArrays, camera: Camera,
         fill = fill.at[3, :].set(0.0)  # valid = 0
         meta = jnp.concatenate([meta, fill], axis=1)
     n_pix = cfg.width * cfg.height
+    base_lo = jnp.asarray(sample_lo, dtype=jnp.int32)
 
-    def shard_fn(meta_l, scene, camera, seed_key):
+    def shard_fn(meta_l, scene, camera, seed_key, base_lo):
         sp_rank = jax.lax.axis_index("sp")
         out = tile_call(scene, camera, cfg, seed_key, meta_l, chains,
-                        sp_rank * spp_local, spp_local)
+                        base_lo + sp_rank * spp_local, spp_local)
         gid = meta_l[2].astype(jnp.int32)
         validf = meta_l[3]
         rad = jnp.zeros((n_pix, 3), jnp.float32).at[gid].add(
@@ -210,17 +217,28 @@ def render_image_tiles_sharded(scene: SceneArrays, camera: Camera,
 
     rad, n_traced = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, "dp"), P(), P(), P()),
+        in_specs=(P(None, "dp"), P(), P(), P(), P()),
         out_specs=(P(), P()), check_vma=False)(
-            meta, scene, camera, seed_key)
+            meta, scene, camera, seed_key, base_lo)
+    return rad, n_traced
 
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_image_tiles_sharded(scene: SceneArrays, camera: Camera,
+                               cfg: RenderConfig, seed, mesh: Mesh):
+    """Multi-device forward rendering through the tile-resident
+    megakernel (the TPU fast path) — trace_tiles_sharded over the full
+    spp range, assembled into the (H,W,3) mean-radiance image."""
+    rad, n_traced = trace_tiles_sharded(scene, camera, cfg, seed, mesh)
     image = rad.reshape(cfg.height, cfg.width, 3) / jnp.float32(cfg.spp)
     return image, n_traced
 
 
 def trace_tiles_diff_sharded(scene: SceneArrays, camera: Camera,
                              cfg: RenderConfig, seed, mesh: Mesh,
-                             sample_lo=0, chains: int | None = None):
+                             sample_lo=0, chains: int | None = None,
+                             n_samples: int | None = None,
+                             sample_budget: int | None = None):
     """Reverse-differentiable tile-resident render over the mesh — the
     sharded fused train path (VERDICT r2 missing #1).
 
@@ -247,11 +265,17 @@ def trace_tiles_diff_sharded(scene: SceneArrays, camera: Camera,
     from ..render import _as_key, _tile_packs, tile_chains_diff
 
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
-    if cfg.spp % sp != 0:
-        raise ValueError(f"spp={cfg.spp} must be a multiple of sp={sp}")
-    spp_local = cfg.spp // sp
+    n_samples = cfg.spp if n_samples is None else n_samples
+    if n_samples % sp != 0:
+        raise ValueError(f"n_samples={n_samples} must be a multiple of "
+                         f"sp={sp}")
+    spp_local = n_samples // sp
     from ..render import DIFF_SAMPLE_BUDGET
-    chunk = min(spp_local, DIFF_SAMPLE_BUDGET)
+    # Callers that already bound per-call samples externally (the
+    # chunked-sharded trainer) raise sample_budget to their per-rank
+    # chunk so each backward call is ONE custom_vjp chain with no remat
+    # split — mirroring render.trace_tiles_diff's sample_budget.
+    chunk = min(spp_local, sample_budget or DIFF_SAMPLE_BUDGET)
     if chains is None:
         # Same dp-aware cap as the forward: every rank must get real
         # pixel blocks, not padding.

@@ -887,9 +887,10 @@ def diff_fallback_reason(scene: SceneArrays, cfg: RenderConfig):
             return ("an image texture on a constant medium is outside "
                     "the kernel's scope (media albedo must pack to a "
                     "solid)")
-        if scene.n_media_active > 4:
+        if scene.n_media_active > mkt.MAX_TRAIN_MEDIA:
             return ("%d constant media exceed the train kernel's "
-                    "4-slot gradient scope" % scene.n_media_active)
+                    "%d-slot gradient scope"
+                    % (scene.n_media_active, mkt.MAX_TRAIN_MEDIA))
         return "the scene is outside the train kernel's scope"
     return None
 

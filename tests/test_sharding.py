@@ -250,3 +250,75 @@ def test_sharded_tiles_distribute_across_ranks(monkeypatch):
     img_1, n_1 = render_image_tiles(scene, cam, cfg, 0)
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_chunked_sharded_train_matches_single_device(monkeypatch):
+    """VERDICT r4 next #3: `make_train_step` under a mesh must CHUNK
+    big per-rank sample budgets (multiple sharded device calls) instead
+    of putting the whole spp range into one shard_map call — the
+    single-device route has chunked since round 3, the mesh route never
+    did, which on real hardware would drive a 500-spp sp=1 step into
+    the ~60 s execution wall. Scaled-down north-star shape: the sharded
+    chunked step's loss and updated parameters must match the
+    single-device chunked step (same global (pixel, sample) keys; f32
+    summation order only)."""
+    monkeypatch.setenv("RRT_INTERPRET", "1")
+    from rrt_tpu.diff import make_train_step_chunked, partition
+
+    cfg = rrt_tpu.RenderConfig(width=16, height=8, spp=16, max_depth=3)
+    scene, cam = chap11_scene(cfg.width, cfg.height)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    step_1 = make_train_step_chunked(cfg, spp_chunk=4)
+    s1, c1, l1 = step_1(scene, cam, target, 0)
+
+    mesh = make_mesh(dp=4, sp=2)
+    step_m = make_train_step_chunked(cfg, spp_chunk=4, mesh=mesh)
+    sm, cm, lm = step_m(scene, cam, target, 0)
+
+    np.testing.assert_allclose(float(l1), float(lm), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves((partition(s1), c1)),
+                    jax.tree_util.tree_leaves((partition(sm), cm))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_make_train_step_mesh_routes_to_chunked(monkeypatch):
+    """The router must send big PER-RANK budgets (spp/sp beyond
+    4*DIFF_SAMPLE_BUDGET) through the chunked-sharded trainer, and the
+    resulting step must still descend on the virtual mesh."""
+    monkeypatch.setenv("RRT_INTERPRET", "1")
+    import rrt_tpu.render as rrender
+    monkeypatch.setattr(rrender, "DIFF_SAMPLE_BUDGET", 1)
+
+    cfg = rrt_tpu.RenderConfig(width=16, height=8, spp=16, max_depth=3)
+    scene, cam = chap11_scene(cfg.width, cfg.height)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32) + 0.5
+    mesh = make_mesh(dp=4, sp=2)
+    # per-rank spp/sp=8 > 4*DIFF_SAMPLE_BUDGET*1 -> chunked-sharded.
+    step = make_train_step(cfg, mesh=mesh)
+    assert not hasattr(step, "lower")  # chunked: plain fn, not one jit
+    s2, c2, loss0 = step(scene, cam, target, 0)
+    _, _, loss1 = step(s2, c2, target, 0)
+    assert float(loss1) < float(loss0)
+
+
+def test_trace_tiles_sharded_sample_range(monkeypatch):
+    """trace_tiles_sharded with [sample_lo, sample_lo+n) must tile the
+    sample space exactly like the single-device trace_tiles chunks the
+    chunked trainer uses (global (pixel, sample)-addressed keys)."""
+    monkeypatch.setenv("RRT_INTERPRET", "1")
+    from rrt_tpu.parallel.mesh import trace_tiles_sharded
+    from rrt_tpu.render import trace_tiles
+
+    cfg = rrt_tpu.RenderConfig(width=16, height=8, spp=8, max_depth=3)
+    scene, cam = chap11_scene(cfg.width, cfg.height)
+    mesh = make_mesh(dp=2, sp=4)
+    r_s, n_s = trace_tiles_sharded(scene, cam, cfg, 0, mesh,
+                                   sample_lo=4, n_samples=4)
+    r_1, n_1 = trace_tiles(scene, cam, cfg, 0, sample_lo=4, n_samples=4)
+    assert float(n_s) == float(n_1)
+    np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_1),
+                               atol=2e-5, rtol=1e-4)

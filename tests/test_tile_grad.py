@@ -530,8 +530,8 @@ def test_diff_fallback_warns_with_reason(monkeypatch, caplog):
     cfg_off = dataclasses.replace(cfg, use_megakernel=False)
     assert "use_megakernel" in rrender.diff_fallback_reason(scene,
                                                             cfg_off)
-    many = dataclasses.replace(scene, n_media_active=5)
-    assert "4-slot" in rrender.diff_fallback_reason(many, cfg)
+    many = dataclasses.replace(scene, n_media_active=9)
+    assert "8-slot" in rrender.diff_fallback_reason(many, cfg)
     imgmed = dataclasses.replace(scene, has_images_on_media=True)
     assert "medium" in rrender.diff_fallback_reason(imgmed, cfg)
     monkeypatch.delenv("RRT_INTERPRET", raising=False)
@@ -544,3 +544,126 @@ def test_diff_fallback_warns_with_reason(monkeypatch, caplog):
             if "render_image_diff" in r.message]
     assert len(msgs) == 1
     assert "40x" in msgs[0] and "Pallas" in msgs[0]
+
+
+def test_boundary_residual_formula_pinned():
+    """boundary_residual_bytes pinned to the measured point: the
+    north-star single-chunk step (1200x800, chunk 500, chains 1, depth
+    50, lean sphere-only layout -> K=192, 136 boundary rows) parks
+    12.5 GB (BASELINE.md "North-star training", VERDICT r4 next #4)."""
+    from rrt_tpu.ops.megakernel_train import boundary_residual_bytes
+    from rrt_tpu.ops import megakernel as mk
+    flags = dict(has_quads=False, has_boxes=False, has_images=False,
+                 n_media=0)
+    got = boundary_residual_bytes(1200 * 800, 500, 1, 50, flags)
+    n_lanes = -(-1200 * 800 // mk.TN) * mk.TN
+    assert got == 136 * 24 * n_lanes * 4  # = 12.54 GB at TN=1024
+    if mk.TN == 1024:
+        assert abs(got / 1e9 - 12.54) < 0.01
+
+
+def test_resolve_spp_chunk_resolution_aware():
+    """VERDICT r4 next #4: the K tiers hold residual-per-chunk constant
+    in CHUNK, so the parked bytes scale with image size; the resolver
+    must fold W*H in so no config can auto-select an OOM plan. At
+    1200x800 the proven 500-spp single chunk stays; at 1920x1080 the
+    same lean scene must resolve a chunk whose predicted residual fits
+    the budget."""
+    from rrt_tpu.diff import _residual_budget_bytes, resolve_spp_chunk
+    from rrt_tpu.ops.megakernel_train import boundary_residual_bytes
+    from rrt_tpu.render import tile_chains_diff
+    from rrt_tpu.scenes import chap12_scene
+
+    cfg_ns = RenderConfig(width=1200, height=800, spp=500,
+                                  max_depth=50)
+    scene, _ = chap12_scene(64, 36)  # layout flags only; size-free
+    assert resolve_spp_chunk(cfg_ns, scene=scene) == 500
+
+    cfg_hd = RenderConfig(width=1920, height=1080, spp=500,
+                                  max_depth=50)
+    chunk = resolve_spp_chunk(cfg_hd, scene=scene)
+    assert cfg_hd.spp % chunk == 0
+    flags = dict(has_quads=scene.has_quads, has_boxes=scene.has_boxes,
+                 has_images=scene.has_images,
+                 n_media=scene.n_media_active)
+    assert boundary_residual_bytes(
+        1920 * 1080, chunk, tile_chains_diff(cfg_hd, chunk),
+        cfg_hd.max_depth, flags) <= _residual_budget_bytes()
+    assert chunk < 128  # any >=128-spp chunk parks ~27 GB at 1080p
+
+
+def test_resolve_spp_chunk_mesh_aware():
+    """Under a ("dp","sp") mesh the HBM gates apply to PER-RANK
+    quantities: sp multiplies the chunk cap (each rank sees chunk/sp
+    samples), dp divides the pixel count, and the chunk must split
+    evenly over sp."""
+    from rrt_tpu.diff import resolve_spp_chunk
+    from rrt_tpu.scenes import chap12_scene
+
+    scene, _ = chap12_scene(64, 36)
+    cfg = RenderConfig(width=1200, height=800, spp=1000,
+                               max_depth=50)
+    # single device: capped at the lean 512/div-of-1000 -> 500
+    assert resolve_spp_chunk(cfg, scene=scene) == 500
+    # sp=2: per-rank 500 still rides the proven K=192 tier, so the
+    # whole 1000-spp budget fits ONE sharded chunk.
+    assert resolve_spp_chunk(cfg, scene=scene, sp=2) == 1000
+    # chunk must be a multiple of sp: explicit odd requests shrink.
+    assert resolve_spp_chunk(cfg, spp_chunk=125, scene=scene,
+                             sp=2) % 2 == 0
+
+
+def test_resolve_spp_chunk_warns_on_adjusted_request(caplog):
+    """ADVICE r4 #2: an explicitly requested chunk that gets clamped or
+    reduced must emit a one-time warning naming the effective value."""
+    import logging
+    from rrt_tpu import diff as rdiff
+    from rrt_tpu.scenes import chap12_scene
+
+    scene, _ = chap12_scene(64, 36)
+    cfg = RenderConfig(width=1200, height=800, spp=500,
+                               max_depth=50)
+    rdiff._warned_chunks.clear()
+    with caplog.at_level(logging.WARNING, logger="rrt_tpu.diff"):
+        eff = rdiff.resolve_spp_chunk(cfg, spp_chunk=400, scene=scene)
+    assert eff == 250
+    assert any("spp_chunk=400" in r.getMessage()
+               for r in caplog.records)
+    # exact requests stay silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="rrt_tpu.diff"):
+        assert rdiff.resolve_spp_chunk(cfg, spp_chunk=250,
+                                       scene=scene) == 250
+    assert not caplog.records
+
+
+@pytest.mark.slow
+def test_tile_grads_six_media():
+    """Gradient scope beyond the old 4-media cap (VERDICT r4 next #5:
+    the cap was a static choice, not a measured wall): six constant
+    media — a mix of sphere and OBB boundaries at distinct densities
+    and albedos, over curved surfaces under the sky so scatter-position
+    gradients are nonzero — must ride the fused tile train kernel and
+    match the XLA scan path. supports_train now admits up to
+    megakernel_train.MAX_TRAIN_MEDIA (= the scene's 8 media slots)."""
+    from rrt_tpu.camera import Camera
+    from rrt_tpu.scene import SceneBuilder
+    b = SceneBuilder()
+    b.sky()
+    b.sphere((0.0, -100.5, -1.0), 100.0, b.lambertian((0.5, 0.5, 0.5)))
+    b.sphere((0.6, 0.1, -1.2), 0.4, b.metal((0.8, 0.7, 0.6), fuzz=0.05))
+    for i in range(4):
+        b.medium_sphere((-0.8 + 0.5 * i, 0.2 + 0.1 * i, -1.0 - 0.2 * i),
+                        0.3 + 0.05 * i, density=1.0 + 0.5 * i,
+                        albedo=(0.9 - 0.1 * i, 0.6, 0.4 + 0.1 * i))
+    b.medium_box((-0.3, -0.2, -1.6), (0.3, 0.4, -1.1), density=1.2,
+                 albedo=(0.4, 0.8, 0.5))
+    b.medium_box((0.1, 0.0, -0.9), (0.7, 0.5, -0.4), density=0.8,
+                 albedo=(0.7, 0.5, 0.9), rotate_y_deg=25.0)
+    scene = b.build()
+    assert scene.n_media_active == 6
+    assert mkt.supports_train(scene)  # would have failed at the old cap
+    cam = Camera.create((0.0, 0.6, 1.5), (0.0, 0.0, -1.0),
+                        fov_deg=45.0, aspect=1.0)
+    _compare(scene, cam, 16, 16, spp=2, max_depth=4, cam_rtol=None,
+             expect_nonzero=("med_center", "med_neg_inv_density"))
