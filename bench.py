@@ -69,6 +69,8 @@ WALL_BUDGET_S = float(os.environ.get("RRT_BENCH_WALL_S", "540"))
 
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from rrt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()  # env var alone is IGNORED by the axon plugin
 from rrt_tpu.utils.retry import is_transient as _is_transient  # noqa: E402
 # Failure classes worth retrying: the axon tunnel surfaces transient
 # HTTP/stream faults as JaxRuntimeError (BENCH_r03: "response body closed

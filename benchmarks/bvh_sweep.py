@@ -16,6 +16,8 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bvh_sweep.py
 import os
 import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+from rrt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()  # env var alone is IGNORED by the axon plugin
 import statistics
 import time
 

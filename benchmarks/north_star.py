@@ -27,6 +27,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
+from rrt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()  # env var alone is IGNORED by the axon plugin
 
 
 def main():

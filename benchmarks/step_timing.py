@@ -10,6 +10,8 @@ import os
 import statistics
 import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+from rrt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()  # env var alone is IGNORED by the axon plugin
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",

@@ -6,6 +6,8 @@ import os
 import sys
 import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+from rrt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()  # env var alone is IGNORED by the axon plugin
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache"
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -196,6 +196,11 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: long renders pay multi-minute kernel
+    # compiles otherwise; the env var alone is ignored by the axon
+    # plugin (rrt_tpu.utils.cache).
+    from .utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     dist_flags = (args.coordinator, args.num_processes, args.process_id)
     distributed = any(f is not None for f in dist_flags)
