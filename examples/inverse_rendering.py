@@ -6,14 +6,19 @@ are exact interior gradients; geometry gradients are silhouette-blind by
 construction (detached sampling), so geometry recovery needs an edge-aware
 loss and is out of scope for this demo. Run on CPU or TPU:
 
-    PYTHONPATH=. python examples/inverse_rendering.py [--cpu]
+    python examples/inverse_rendering.py [--cpu]
 """
 
 import argparse
 import dataclasses
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 
 def main():
