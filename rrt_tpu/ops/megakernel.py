@@ -105,13 +105,33 @@ def _fam_target(count: int) -> int:
 
 
 def pallas_call(*args, **kwargs):
-    """pl.pallas_call with the RRT_INTERPRET=1 escape hatch: interpret
-    mode lets every kernel (forward tiles, queue steps, the vjp/train
-    chains and their shard_map wrappers) run on the CPU backend for
-    tests and the multi-chip dry run. Read at call time so a process
-    can flip it before tracing."""
+    """pl.pallas_call with two call-time adaptations:
+
+    * the RRT_INTERPRET=1 escape hatch: interpret mode lets every
+      kernel (forward tiles, queue steps, the vjp/train chains and
+      their shard_map wrappers) run on the CPU backend for tests and
+      the multi-chip dry run;
+    * under a shard_map with check_vma=True (the default since round
+      5), out_shape ShapeDtypeStructs must declare their varying
+      manual axes — every kernel output here is a per-rank block, so
+      they vary over ALL enclosing mesh axes (utils/vma.py). No-op
+      outside a shard_map.
+
+    Read at call time so a process can flip interpret before tracing."""
     if os.environ.get("RRT_INTERPRET") == "1":
         kwargs["interpret"] = True
+    from ..utils.vma import manual_axis_names
+    axes = manual_axis_names()
+    if axes and "out_shape" in kwargs:
+        def stamp(s):
+            if (isinstance(s, jax.ShapeDtypeStruct)
+                    and not getattr(s, "vma", None)):
+                return jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                            vma=frozenset(axes))
+            return s
+        kwargs["out_shape"] = jax.tree.map(
+            stamp, kwargs["out_shape"],
+            is_leaf=lambda s: isinstance(s, jax.ShapeDtypeStruct))
     return pl.pallas_call(*args, **kwargs)
 
 

@@ -40,6 +40,7 @@ from .materials import scatter
 
 from .ops import megakernel as ops_mega
 from .scene import BG_SKY, SceneArrays
+from .utils.vma import vary_for_mesh
 from .vec import V3
 
 
@@ -317,11 +318,17 @@ def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,
         return trace_batch_fused(scene, o, d, time, keys, max_depth,
                                  t_min, rr_depth=rr_depth)
     n = o.x.shape[0]
-    carry0 = (o, d, time,
-              V3.ones((n,)),  # throughput
-              V3.zeros((n,)),  # radiance
-              jnp.ones((n,), bool),  # alive
-              jnp.zeros((), jnp.float32))  # rays traced (f32: metric only)
+    # vary_for_mesh: under a shard_map the freshly created carry
+    # constants are device-invariant while the body output is varying
+    # (it mixes in dp/sp-varying rays); casting the init to varying
+    # satisfies the static vma verifier (check_vma=True since round 5)
+    # and is a no-op single-device (utils/vma.py).
+    carry0 = vary_for_mesh(
+        (o, d, time,
+         V3.ones((n,)),  # throughput
+         V3.zeros((n,)),  # radiance
+         jnp.ones((n,), bool),  # alive
+         jnp.zeros((), jnp.float32)))  # rays traced (f32: metric only)
 
     body = partial(_bounce_body, scene, t_min, keys, max_depth=max_depth,
                    packed=packed, rr_depth=rr_depth)
@@ -343,8 +350,9 @@ def trace_batch(scene: SceneArrays, o: V3, d: V3, time, keys,
             bounce, carry = state
             return bounce + 1, body(carry, bounce)
 
-        _, carry = jax.lax.while_loop(cond, step, (jnp.zeros((), jnp.int32),
-                                                   carry0))
+        _, carry = jax.lax.while_loop(
+            cond, step,
+            (vary_for_mesh(jnp.zeros((), jnp.int32)), carry0))
     return carry[4], carry[6]
 
 
@@ -487,10 +495,13 @@ def trace_queue(scene: SceneArrays, camera: Camera, px, py,
     dummy_keys = rng.sample_keys(seed_key, jnp.zeros((q,), jnp.uint32), 0)
     st0 = jnp.zeros((16, q), jnp.float32)
     st0 = st0.at[3:6].set(1.0)  # non-degenerate direction
-    state0 = (st0, dummy_keys,
-              jnp.zeros((q,), jnp.int32),  # pixel index in tile
-              jnp.zeros((), jnp.int32),  # next sample cursor
-              V3.zeros((p_count,)))  # accumulator
+    # vary_for_mesh: see trace_batch — carry init must match the
+    # body's varying vma type under shard_map (no-op single-device).
+    state0 = vary_for_mesh(
+        (st0, dummy_keys,
+         jnp.zeros((q,), jnp.int32),  # pixel index in tile
+         jnp.zeros((), jnp.int32),  # next sample cursor
+         V3.zeros((p_count,))))  # accumulator
 
     st, keys, pix, next_s, acc = jax.lax.while_loop(cond, outer, state0)
     # Final flush: lanes that finished after the cursor was exhausted were
@@ -561,9 +572,12 @@ def render_tile(scene: SceneArrays, camera: Camera, px, py,
         for i in range(n_passes):
             acc = body(jnp.int32(i), acc)
         return acc
+    # vary_for_mesh: see trace_batch — accumulator init must match the
+    # body's varying vma type under shard_map (no-op single-device).
     return jax.lax.fori_loop(
-        0, n_passes, body, (jnp.zeros((p_count, 3), jnp.float32),
-                            jnp.zeros((), jnp.float32)))
+        0, n_passes, body,
+        vary_for_mesh((jnp.zeros((p_count, 3), jnp.float32),
+                       jnp.zeros((), jnp.float32))))
 
 
 def _tile_coords(cfg: RenderConfig):

