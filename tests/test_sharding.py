@@ -342,3 +342,34 @@ def test_trace_tiles_sharded_sample_range(monkeypatch):
     assert float(n_s) == float(n_1)
     np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_1),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_vary_for_mesh_noop_outside_shard_map():
+    """vary_for_mesh must be IDENTITY outside a shard_map — no pcast in
+    single-device jaxprs (cache keys and lowering unchanged), leaves
+    returned as-is eagerly."""
+    import jax.numpy as jnp
+
+    from rrt_tpu.utils.vma import manual_axis_names, vary_for_mesh
+
+    assert manual_axis_names() == ()
+    x = (jnp.ones((4,)), jnp.zeros((), jnp.int32))
+    y = vary_for_mesh(x)
+    assert y[0] is x[0] and y[1] is x[1]
+
+    from rrt_tpu.render import RenderConfig, trace_tiles  # noqa: F401
+    from rrt_tpu import rng
+    from rrt_tpu.camera import generate_rays
+    from rrt_tpu.render import trace_batch
+    from rrt_tpu.scenes import diffuse_scene
+
+    scene, cam = diffuse_scene(8, 4)
+    ids = jnp.arange(32, dtype=jnp.int32)
+    px, py = ids % 8, ids // 8
+    keys = rng.sample_keys(jax.random.key(0),
+                           (py * 8 + px).astype(jnp.uint32), 0)
+    o, d, tm = generate_rays(cam, px, py, 8, 4, keys)
+    jaxpr = jax.make_jaxpr(
+        lambda: trace_batch(scene, o, d, tm, keys, 2, 1e-3,
+                            differentiable=False))()
+    assert "pcast" not in str(jaxpr) and "pvary" not in str(jaxpr)
