@@ -488,7 +488,7 @@ def main():
                           max_depth=50)
     ns_target = jnp.zeros((height, width, 3), jnp.float32)
 
-    def phase_north_star(name, c):
+    def phase_north_star(name, c, reserve_s=0.0):
         def run():
             gc.collect()  # drop prior variants' parked-residual refs
             step = make_train_step_chunked(c)
@@ -500,8 +500,12 @@ def main():
                 t0 = time.time()
                 sync_tree(step(scene, cam, ns_target, 0)[2])
                 ts.append(time.time() - t0)
-                if rec.budget_left() < ts[-1]:
-                    break  # no wall left for a second timed step
+                if rec.budget_left() < ts[-1] + reserve_s:
+                    # no wall left for a second timed step — reserve_s
+                    # keeps the NEXT north-star variant runnable
+                    # instead of spending its budget on one more
+                    # iteration of this one.
+                    break
             best = min(ts)
             if best > warm_s:
                 # A steady step cannot be slower than the warm step
@@ -521,7 +525,8 @@ def main():
     # ~38.6 s with RR; BASELINE.md "North-star training" and "Bench
     # phase walls").
     rec.phase("north_star_exact",
-              phase_north_star("north_star_500spp_s", cfg500), est_s=160)
+              phase_north_star("north_star_500spp_s", cfg500,
+                               reserve_s=120), est_s=160)
     rec.phase("north_star_rr4",
               phase_north_star("north_star_500spp_rr4_s",
                                dataclasses.replace(cfg500, rr_depth=4)),

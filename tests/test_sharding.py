@@ -373,3 +373,37 @@ def test_vary_for_mesh_noop_outside_shard_map():
         lambda: trace_batch(scene, o, d, tm, keys, 2, 1e-3,
                             differentiable=False))()
     assert "pcast" not in str(jaxpr) and "pvary" not in str(jaxpr)
+
+
+def test_chunked_trainer_mesh_fallback_uses_sharded_oneshot(monkeypatch,
+                                                            caplog):
+    """A chunked-sharded trainer whose scene/backend falls out of the
+    fused kernel scope must fall back to the ONE-SHOT step with the
+    SAME mesh (round 5 — previously the fallback silently dropped the
+    mesh), warning with the reason. On the CPU backend without
+    RRT_INTERPRET the Pallas gate trips naturally."""
+    import logging
+
+    import rrt_tpu.render as rrender
+    from rrt_tpu.diff import make_train_step_chunked
+
+    monkeypatch.delenv("RRT_INTERPRET", raising=False)
+    monkeypatch.setattr(rrender, "_warned_fallbacks", set())
+    cfg = rrt_tpu.RenderConfig(width=16, height=8, spp=4, max_depth=3,
+                               tile_pixels=32, samples_per_pass=2)
+    scene, cam = chap11_scene(cfg.width, cfg.height)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32) + 0.3
+    mesh = make_mesh(dp=4, sp=2)
+    step = make_train_step_chunked(cfg, spp_chunk=2, mesh=mesh)
+    with caplog.at_level(logging.WARNING, logger="rrt_tpu.render"):
+        s2, c2, l0 = step(scene, cam, target, 0)
+    assert any("make_train_step_chunked" in r.message
+               for r in caplog.records)
+    _, _, l1 = step(s2, c2, target, 0)
+    assert float(l1) < float(l0)
+    # and the sharded one-shot result equals the meshless one (same
+    # keys; the mesh only changes the execution layout)
+    from rrt_tpu.diff import _make_train_step_oneshot
+    s_ref, c_ref, l_ref = _make_train_step_oneshot(cfg, None, 1e-2)(
+        scene, cam, target, 0)
+    np.testing.assert_allclose(float(l0), float(l_ref), rtol=1e-5)
