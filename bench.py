@@ -264,12 +264,18 @@ def main():
         """(value, vs_baseline) from whatever has been measured so far —
         called at every emit, so the legacy headline appears as soon as
         fwd+bwd_chain are in and headline_v2 as soon as train_tile is."""
+        # Guard on EVERY key each branch reads: headline() also runs
+        # from the SIGTERM handler, which can interrupt a phase between
+        # two state[...] stores — a KeyError here would swallow the
+        # signal and defeat the emit-and-exit guarantee.
         mrays = None
-        if "fwd_med" in state and "bwd_med" in state:
+        if all(k in state for k in ("fwd_med", "bwd_med", "fwd_rays",
+                                    "bwd_rays")):
             total_rays = state["fwd_rays"] + 2.0 * state["bwd_rays"]
             mrays = round(total_rays / (state["fwd_med"]
                                         + state["bwd_med"]) / 1e6, 2)
-        if "fwd8_med" in state:
+        if all(k in state for k in ("fwd8_med", "bwd_tile_s",
+                                    "train_rays")):
             v2 = (3.0 * state["train_rays"]
                   / (state["fwd8_med"] + state["bwd_tile_s"]) / 1e6)
             d["headline_v2_mrays_per_s"] = round(v2, 2)
@@ -434,7 +440,7 @@ def main():
             d[name + "_mrays_per_s"] = round(float(n2) / med2 / 1e6, 2)
             if name == "rttnw_final":
                 # Russian-roulette speedup at matched error: MSE vs a
-                # 4096-spp golden matches the exact render to ~1%
+                # 4100-spp golden matches the exact render to ~2%
                 # while wall drops 1.66x (BASELINE.md "Russian
                 # roulette", error-vs-wall curve). Wall-time lever,
                 # not a rays/s one: rays and time shrink together.
@@ -507,13 +513,16 @@ def main():
                     # iteration of this one.
                     break
             best = min(ts)
-            if best > warm_s:
-                # A steady step cannot be slower than the warm step
-                # (compile + one step): this is the tunnel-stall
-                # pathology (one r4 run recorded 200.9 s, one r5 run
-                # 1765 s, for a step that reproduces at ~52 s). Report
-                # the warm wall as the honest upper bound and flag the
-                # stalled measurement.
+            if best > 1.2 * warm_s:
+                # A steady step cannot be meaningfully slower than the
+                # warm step (compile + one step): this is the
+                # tunnel-stall pathology (one r4 run recorded 200.9 s,
+                # one r5 run 1765 s, for a step that reproduces at
+                # ~52 s). Report the warm wall as the honest upper
+                # bound and flag the stalled measurement. The 1.2x
+                # margin keeps ordinary jitter on fully-cached runs
+                # (timed 50.3 vs warm 50.0) from wearing the
+                # stall-pathology label.
                 d[name + "_stalled_step_s"] = round(best, 1)
                 best = warm_s
             d[name] = round(best, 1)

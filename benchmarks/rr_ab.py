@@ -38,24 +38,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def sync(out):
+    """Hard device sync (block_until_ready can be lazy through the
+    tunnel runtime — verify SKILL.md)."""
+    img, n = out
+    float(img[0, 0, 0])
+    return out
+
+
+def timed(fn, n=3):
+    """Warm + median of n (one helper for BOTH modes, so the timing
+    discipline cannot drift between them)."""
+    sync(fn())
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        sync(fn())
+        ts.append(time.time() - t0)
+    return statistics.median(ts)
+
+
 def main():
     from rrt_tpu.render import RenderConfig, render_image_tiles
     from rrt_tpu.scenes import (book2chap2_scene, chap12_scene,
                                 rttnw_final_scene)
-
-    def sync(out):
-        img, n = out
-        float(img[0, 0, 0])
-        return out
-
-    def timed(fn, n=3):
-        sync(fn())
-        ts = []
-        for _ in range(n):
-            t0 = time.time()
-            sync(fn())
-            ts.append(time.time() - t0)
-        return statistics.median(ts)
 
     jax.block_until_ready(jnp.zeros(8) + 1.0)
     results = {}
@@ -107,20 +113,6 @@ def curve():
     GOLDEN_SPP, CHUNK = 4100, 100  # 41 x 100-spp chunks: each device
     # call stays far inside the ~60 s execution window, and the
     # 100-spp tile variant is the CLI's default chunk (warm cache).
-
-    def sync(out):
-        img, n = out
-        float(img[0, 0, 0])
-        return out
-
-    def timed(fn, n=3):
-        sync(fn())
-        ts = []
-        for _ in range(n):
-            t0 = time.time()
-            sync(fn())
-            ts.append(time.time() - t0)
-        return statistics.median(ts)
 
     jax.block_until_ready(jnp.zeros(8) + 1.0)
     results = {}

@@ -144,9 +144,21 @@ def resolve_spp_chunk(cfg: RenderConfig,
 
     eff = next((c for c in range(chunk, 0, -1) if admissible(c)), None)
     if eff is None:
+        # Name the gate that actually rejected every candidate: a
+        # divisor/sp failure and a residual-budget failure need
+        # opposite remedies (change spp/sp vs raise
+        # RRT_RESIDUAL_BUDGET_GB / shrink the image).
+        shape_ok = [c for c in range(chunk, 0, -1)
+                    if cfg.spp % c == 0 and c % sp == 0]
+        if not shape_ok:
+            raise ValueError(
+                f"no admissible spp chunk: cfg.spp={cfg.spp} must have "
+                f"a divisor that is a multiple of sp={sp}")
         raise ValueError(
-            f"no admissible spp chunk: cfg.spp={cfg.spp} must have a "
-            f"divisor that is a multiple of sp={sp}")
+            f"no admissible spp chunk: every candidate down to "
+            f"{shape_ok[-1]} parks a boundary residual above the "
+            f"{budget / 1e9:.1f} GB budget at {cfg.width}x{cfg.height}"
+            f"/dp={dp} (RRT_RESIDUAL_BUDGET_GB raises it)")
     if spp_chunk and eff != spp_chunk:
         _warn_chunk_adjusted(spp_chunk, eff, cap, budget)
     return eff

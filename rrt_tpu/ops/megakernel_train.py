@@ -31,7 +31,8 @@ backward compute is replay (1x) + re-derive (1x) + adjoint, i.e. ~2-3x
 the forward kernel, with zero glue between.
 
 Gradient scope (`supports_train`): everything the forward megakernel
-shades, INCLUDING constant media up to 4 slots — each medium adds 11
+shades, INCLUDING constant media up to MAX_TRAIN_MEDIA (8) slots —
+each medium adds 11
 traced parameter rows to the in-kernel adjoint (this is broader than
 megakernel_vjp.supports_backward, which excludes media). Discrete
 decisions
@@ -135,7 +136,7 @@ def boundary_residual_bytes(n_pix: int, chunk: int, chains: int,
     / K=192, while 1920x1080 would park ~27 GB at any chunk >= 128 —
     which is why diff.resolve_spp_chunk folds W*H into the chunk cap
     (VERDICT r4 next #4). Pinned to the measured 12.5 GB point by
-    tests/test_tile_grad.py::test_boundary_residual_formula."""
+    tests/test_tile_grad.py::test_boundary_residual_formula_pinned."""
     n_lanes = -(-n_pix // (chains * TN)) * TN
     max_steps = chains * chunk * (int(max_depth) + 2) + 1
     seg_k, _ = _seg_cfg(max_steps, chunk, flags)

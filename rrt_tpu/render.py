@@ -802,7 +802,7 @@ def trace_tiles_diff(scene: SceneArrays, camera: Camera,
     spill-augmented launch, backward is one segmented replay+adjoint
     launch that emits camera and primitive-pack cotangents in-kernel.
     Requires mkt.supports_train(scene) (image-on-media textures and
-    >4 media fall back to trace_batch's scan path via render_image).
+    >8 media fall back to trace_batch's scan path via render_image).
 
     Sample budgets beyond `sample_budget` (default DIFF_SAMPLE_BUDGET)
     accumulate over sample_lo chunks (a python loop of custom_vjp
@@ -929,7 +929,7 @@ def render_image_diff(scene: SceneArrays, camera: Camera,
     On TPU, kernel-supported scenes — including constant-media scenes —
     ride the fused tile train path (trace_tiles_diff: one forward
     launch + one backward launch); everything else (CPU, image textures
-    on media, >4 media) uses the rematerialized-scan batch driver and
+    on media, >8 media) uses the rematerialized-scan batch driver and
     logs one warning naming the reason.
     Returns (image (H,W,3) mean radiance, n_traced)."""
     reason = diff_fallback_reason(scene, cfg)

@@ -23,12 +23,20 @@ import os
 def enable_persistent_cache(path: str | None = None) -> str:
     """Point jax's persistent compilation cache at `path` (default:
     $JAX_COMPILATION_CACHE_DIR, else <repo>/.jax_cache). Respects a
-    cache dir the user already configured. Returns the effective dir."""
+    cache dir the user already configured — but ALWAYS re-issues
+    jax.config.update: the config VALUE being set (e.g. inherited from
+    the env var at import) is not sufficient on this backend — the
+    update call's hook is what initializes the cache, and without it
+    jax logs "cache is disabled/not initialized" despite a non-None
+    config value. Re-issuing the same value is harmless and
+    idempotent. Returns the effective dir."""
     import jax
-    if path is None:
+    configured = jax.config.jax_compilation_cache_dir
+    if configured is not None:
+        path = configured  # honor the user's existing choice
+    elif path is None:
         path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache")
-    if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_compilation_cache_dir", path)
     return jax.config.jax_compilation_cache_dir

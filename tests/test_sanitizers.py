@@ -87,8 +87,23 @@ def test_enable_persistent_cache_respects_user_config(monkeypatch):
         got = enable_persistent_cache("/tmp/rrt_cache_test")
         assert got == "/tmp/rrt_cache_test"
         assert jax.config.jax_compilation_cache_dir == "/tmp/rrt_cache_test"
-        # an already-configured dir wins over the helper's default
+        # an already-configured dir wins over the helper's default —
+        # but update is still RE-ISSUED with that value: the config
+        # VALUE being set (e.g. inherited from the env var at import)
+        # is not sufficient on the TPU plugin; the update hook is what
+        # initializes the cache.
+        calls = []
+        orig_update = jax.config.update
+
+        def counting(name, value):
+            calls.append((name, value))
+            orig_update(name, value)
+
+        monkeypatch.setattr(jax.config, "update", counting)
         got2 = enable_persistent_cache("/tmp/other")
+        monkeypatch.undo()
         assert got2 == "/tmp/rrt_cache_test"
+        assert ("jax_compilation_cache_dir",
+                "/tmp/rrt_cache_test") in calls
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
